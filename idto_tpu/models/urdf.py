@@ -1,0 +1,264 @@
+"""URDF parser -> :class:`Model`.
+
+Behavioral replacement for Drake's ``Parser(plant).AddModels(urdf)`` as used
+by every reference example (e.g. examples/spinner/spinner.cc:36-39).  Only
+the URDF subset exercised by the reference model suite is supported:
+
+  * joints: fixed, revolute, continuous, prismatic, planar, floating
+    (plus an implicit floating joint for root links not attached to world,
+    matching Drake's free-body convention),
+  * planar-joint axis realignment follows Drake's MakeFromOneUnitVector
+    deterministic basis (see rotations.make_frame_from_z) so that YAML
+    configs written for the reference (e.g. hopper: q = [height, x, theta])
+    keep their meaning,
+  * inertial origin/rpy, mass, full inertia tensor (re-expressed from the
+    inertial frame into the link frame),
+  * collision geometries: sphere, box, capsule, cylinder,
+  * transmissions -> actuators,
+  * drake:collision_filter_group exclusion groups.
+"""
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+import numpy as np
+
+from idto_tpu.models.model import GeomType, JointType, Model, ModelBuilder
+
+_JOINT_TYPES = {
+    "fixed": JointType.FIXED,
+    "revolute": JointType.REVOLUTE,
+    "continuous": JointType.REVOLUTE,
+    "prismatic": JointType.PRISMATIC,
+    "planar": JointType.PLANAR,
+    "floating": JointType.FLOATING,
+}
+
+
+def _floats(s: str) -> np.ndarray:
+    return np.array([float(x) for x in s.replace(",", " ").split()])
+
+
+def _origin(elem: Optional[ET.Element]) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (R, p) from an <origin xyz rpy> element (identity if None)."""
+    from idto_tpu.models.rotations import rpy_to_rot
+
+    if elem is None:
+        return np.eye(3), np.zeros(3)
+    xyz = _floats(elem.get("xyz", "0 0 0"))
+    rpy = _floats(elem.get("rpy", "0 0 0"))
+    R = np.asarray(rpy_to_rot(rpy), dtype=np.float64)
+    return R, xyz
+
+
+def _parse_inertial(link: ET.Element):
+    inertial = link.find("inertial")
+    if inertial is None:
+        return 0.0, np.zeros(3), np.zeros((3, 3))
+    R, com = _origin(inertial.find("origin"))
+    mass_el = inertial.find("mass")
+    mass = float(mass_el.get("value")) if mass_el is not None else 0.0
+    in_el = inertial.find("inertia")
+    if in_el is None:
+        I = np.zeros((3, 3))
+    else:
+        ixx = float(in_el.get("ixx", 0))
+        iyy = float(in_el.get("iyy", 0))
+        izz = float(in_el.get("izz", 0))
+        ixy = float(in_el.get("ixy", 0))
+        ixz = float(in_el.get("ixz", 0))
+        iyz = float(in_el.get("iyz", 0))
+        I = np.array([[ixx, ixy, ixz], [ixy, iyy, iyz], [ixz, iyz, izz]])
+    # Re-express inertia (given in the inertial frame) in the link frame.
+    I_link = R @ I @ R.T
+    return mass, com, I_link
+
+
+def _parse_geometry(geom_el: ET.Element):
+    """Returns (GeomType, params) or None for unsupported (e.g. mesh)."""
+    for child in geom_el:
+        tag = child.tag
+        if tag == "sphere":
+            return GeomType.SPHERE, [float(child.get("radius"))]
+        if tag == "box":
+            size = _floats(child.get("size"))
+            return GeomType.BOX, list(size / 2.0)
+        if tag == "capsule" or tag == "drake:capsule":
+            return GeomType.CAPSULE, [
+                float(child.get("radius")),
+                float(child.get("length")) / 2.0,
+            ]
+        if tag == "cylinder":
+            return GeomType.CYLINDER, [
+                float(child.get("radius")),
+                float(child.get("length")) / 2.0,
+            ]
+        if tag == "mesh":
+            return None  # meshes require simplified collision models
+    return None
+
+
+def parse_urdf_string(
+    text: str,
+    builder: Optional[ModelBuilder] = None,
+    *,
+    floating_base: Optional[bool] = None,
+) -> ModelBuilder:
+    """Parse URDF into a ModelBuilder (call ``.finalize()`` for the Model).
+
+    ``floating_base``: if None, root links without a joint to world get a
+    floating joint (Drake free-body behavior); True forces it; False welds
+    roots to the world.
+    """
+    root = ET.fromstring(text)
+    builder = builder or ModelBuilder()
+
+    links = {l.get("name"): l for l in root.findall("link")}
+    joints = list(root.findall("joint"))
+
+    # child link name -> joint element
+    joint_of_child = {}
+    for j in joints:
+        child = j.find("child").get("link")
+        joint_of_child[child] = j
+
+    # Topologically order links: repeatedly add links whose parent is done.
+    done: set[str] = {"world"}
+    order: list[str] = []
+    remaining = [name for name in links if name != "world"]
+    while remaining:
+        progress = False
+        for name in list(remaining):
+            j = joint_of_child.get(name)
+            parent = j.find("parent").get("link") if j is not None else "world"
+            if parent in done:
+                order.append(name)
+                done.add(name)
+                remaining.remove(name)
+                progress = True
+        if not progress:
+            raise ValueError(f"URDF kinematic loop or dangling links: {remaining}")
+
+    for name in order:
+        link_el = links[name]
+        mass, com, I = _parse_inertial(link_el)
+        j = joint_of_child.get(name)
+        if j is None:
+            # Root link: floating (free body) unless told otherwise.
+            jt = (
+                JointType.FLOATING
+                if (floating_base is None or floating_base)
+                else JointType.FIXED
+            )
+            builder.add_link(
+                name,
+                "world",
+                jt,
+                joint_name=f"{name}_base",
+                mass=mass,
+                com=com,
+                inertia=I,
+            )
+        else:
+            jt = _JOINT_TYPES[j.get("type")]
+            R_pj, p_pj = _origin(j.find("origin"))
+            axis_el = j.find("axis")
+            axis = (
+                _floats(axis_el.get("xyz"))
+                if axis_el is not None
+                else np.array([0.0, 0.0, 1.0])
+            )
+            dyn = j.find("dynamics")
+            damping = float(dyn.get("damping", 0.0)) if dyn is not None else 0.0
+            if jt == JointType.PLANAR:
+                # Realign the joint frame so that z == axis (Drake behavior;
+                # see module docstring).
+                from idto_tpu.models.rotations import make_frame_from_z
+
+                R_align = make_frame_from_z(axis / np.linalg.norm(axis))
+                R_pj = R_pj @ R_align
+                axis = np.array([0.0, 0.0, 1.0])
+            builder.add_link(
+                name,
+                j.find("parent").get("link"),
+                jt,
+                joint_name=j.get("name"),
+                R_pj=R_pj,
+                p_pj=p_pj,
+                axis=axis,
+                damping=damping,
+                mass=mass,
+                com=com,
+                inertia=I,
+            )
+
+        # Collision geometry.
+        for ci, col in enumerate(link_el.findall("collision")):
+            parsed = _parse_geometry(col.find("geometry"))
+            if parsed is None:
+                continue
+            gtype, params = parsed
+            R, p = _origin(col.find("origin"))
+            builder.add_geometry(
+                name,
+                gtype,
+                params,
+                R=R,
+                p=p,
+                name=col.get("name", f"{name}_collision_{ci}"),
+            )
+
+    # Actuators from <transmission> blocks.
+    for trans in root.findall("transmission"):
+        jel = trans.find("joint")
+        if jel is not None:
+            jname = jel.get("name")
+        else:
+            act = trans.find("actuator")
+            jname = act.get("name") if act is not None else None
+        if jname is not None:
+            builder.add_actuator(jname)
+
+    # drake:collision_filter_group support (used by mini_cheetah feet).
+    ns = "{drake.mit.edu}"
+    groups: dict[str, list[str]] = {}
+    ignores: list[tuple[str, str]] = []
+    for g in root.iter():
+        if g.tag.endswith("collision_filter_group"):
+            gname = g.get("name")
+            members = []
+            for m in g:
+                if m.tag.endswith("member"):
+                    members.append(m.get("link"))
+                if m.tag.endswith("ignored_collision_filter_group"):
+                    ignores.append((gname, m.get("name")))
+            groups[gname] = members
+    for ga, gb in ignores:
+        for la in groups.get(ga, []):
+            for lb in groups.get(gb, []):
+                if la == lb:
+                    continue
+                # Exclude every geom pair between the two links.
+                for na in _geom_names_of_link(builder, la):
+                    for nb in _geom_names_of_link(builder, lb):
+                        builder.exclude_collision(na, nb)
+    _ = ns
+    return builder
+
+
+def _geom_names_of_link(builder: ModelBuilder, link: str) -> list[str]:
+    try:
+        idx = builder.link_index(link)
+    except ValueError:
+        return []
+    return [
+        n
+        for n, b in zip(builder._geom_names, builder._geom_bodies)
+        if b == idx
+    ]
+
+
+def parse_urdf_file(path, **kwargs) -> ModelBuilder:
+    with open(path) as f:
+        return parse_urdf_string(f.read(), **kwargs)
