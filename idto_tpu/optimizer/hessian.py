@@ -1,0 +1,109 @@
+"""Gauss-Newton Hessian assembly as penta-diagonal bands.
+
+Mirrors the reference's CalcHessian (trajectory_optimizer.cc:1093-1165)
+block-for-block, but assembles all (T+1) blocks of each band at once with
+batched einsums (MXU-friendly) instead of a loop over t.
+
+Structure (lower bands; uppers by symmetry):
+  C[t] = Qq' + dv_t/dq_t^T Qv' dv_t/dq_t
+       + dtau_{t-1}/dq_t^T R' dtau_{t-1}/dq_t + dtau_t/dq_t^T R' dtau_t/dq_t
+       + [t < T-1]  dtau_{t+1}/dq_t^T R' dtau_{t+1}/dq_t
+                  + dv_{t+1}/dq_t^T Qv' dv_{t+1}/dq_t
+       + [t == T-1] dv_T/dq_t^T Qf_v' dv_T/dq_t
+  B[t+1] = H[t+1][t], A[t+2] = H[t+2][t]  (see code)
+with C[0] = I pinning q_0, B[1] = A[2] = 0, and primed weights
+Qq' = 2 dt Qq etc. (terminal weights unscaled by dt).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from idto_tpu.models.model import Model
+from idto_tpu.ops.penta import PentaBands, make_symmetric_from_lower
+from idto_tpu.optimizer.partials import IdPartials
+from idto_tpu.optimizer.problem import ProblemDefinition
+
+
+def _wquad(J1, w, J2):
+    """J1^T diag(w) J2, batched over the leading axis."""
+    return jnp.einsum("nji,j,njk->nik", J1, w, J2)
+
+
+def gauss_newton_hessian(
+    model: Model,
+    prob: ProblemDefinition,
+    partials: IdPartials,
+    nplus,  # (T+1, nv, nq)
+) -> PentaBands:
+    T = prob.num_steps
+    nq = model.nq
+    dt = prob.dt
+    dtype = nplus.dtype
+
+    Qq = 2 * dt * prob.Qq
+    Qv = 2 * dt * prob.Qv
+    R = 2 * dt * prob.R
+    Qf_q = 2 * prob.Qf_q
+    Qf_v = 2 * prob.Qf_v
+
+    # Velocity partials (Gauss-Newton approximation dv_t/dq_t = N^+/dt,
+    # dv_t/dq_{t-1} = -N^+/dt; reference trajectory_optimizer.cc:962-973).
+    dv_dqt = nplus / dt  # (T+1, nv, nq)
+    dm, dtt, dp = partials  # (T, nv, nq) each
+
+    # ---- diagonal band C -------------------------------------------------
+    # Blocks for t = 1..T-1 assembled vectorized, then boundary rows fixed.
+    # Index helpers: for array x over tau steps (len T), x[t] is step t.
+    C_mid = (
+        jnp.eye(nq, dtype=dtype) * 0.0
+        + jnp.diag(Qq).astype(dtype)[None]
+        + _wquad(dv_dqt[1:T], Qv, dv_dqt[1:T])
+        + _wquad(dp[0 : T - 1], R, dp[0 : T - 1])
+        + _wquad(dtt[1:T], R, dtt[1:T])
+    )
+    # dv_{t+1}/dq_t = -N^+(q_{t+1})/dt, for t = 1..T-1.
+    dv_next_dqt = -dv_dqt[2 : T + 1]
+    # Terms present only for t < T-1:
+    C_extra = _wquad(dm[2:T], R, dm[2:T]) + _wquad(
+        dv_next_dqt[: T - 2], Qv, dv_next_dqt[: T - 2]
+    )
+    C_mid = C_mid.at[: T - 2].add(C_extra)
+    # t = T-1: terminal-velocity weight instead.
+    C_mid = C_mid.at[T - 2].add(
+        _wquad(dv_next_dqt[T - 2 : T - 1], Qf_v, dv_next_dqt[T - 2 : T - 1])[0]
+    )
+
+    C_last = (
+        jnp.diag(Qf_q).astype(dtype)
+        + _wquad(dv_dqt[T : T + 1], Qf_v, dv_dqt[T : T + 1])[0]
+        + _wquad(dp[T - 1 : T], R, dp[T - 1 : T])[0]
+    )
+    C = jnp.concatenate(
+        [jnp.eye(nq, dtype=dtype)[None], C_mid, C_last[None]], axis=0
+    )
+
+    # ---- sub-diagonal band B (B[t+1] = H[t+1][t], t = 1..T-1) -----------
+    # H[t+1][t] = dtau_t/dq_{t+1}^T R dtau_t/dq_t
+    #           + [t<T-1] dtau_{t+1}/dq_{t+1}^T R dtau_{t+1}/dq_t
+    #                   + dv_{t+1}/dq_{t+1}^T Qv dv_{t+1}/dq_t
+    #           + [t==T-1] dv_T/dq_T^T Qf_v dv_T/dq_{T-1}
+    B_mid = _wquad(dp[1:T], R, dtt[1:T])
+    B_extra = _wquad(dtt[2:T], R, dm[2:T]) + _wquad(
+        dv_dqt[2:T], Qv, -dv_dqt[2:T]
+    )
+    B_mid = B_mid.at[: T - 2].add(B_extra)
+    B_mid = B_mid.at[T - 2].add(
+        _wquad(dv_dqt[T : T + 1], Qf_v, -dv_dqt[T : T + 1])[0]
+    )
+    B = jnp.concatenate(
+        [jnp.zeros((2, nq, nq), dtype=dtype), B_mid], axis=0
+    )
+
+    # ---- sub-sub-diagonal band A (A[t+2] = H[t+2][t], t = 1..T-2) -------
+    # H[t+2][t] = dtau_{t+1}/dq_{t+2}^T R dtau_{t+1}/dq_t
+    A_mid = _wquad(dp[2:T], R, dm[2:T])
+    A = jnp.concatenate(
+        [jnp.zeros((3, nq, nq), dtype=dtype), A_mid], axis=0
+    )
+
+    return make_symmetric_from_lower(A, B, C)

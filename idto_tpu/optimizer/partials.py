@@ -1,0 +1,74 @@
+"""Exact inverse-dynamics partials d(tau_t)/d(q_{t-1,t,t+1}).
+
+Replaces the reference's finite-difference machinery
+(CalcInverseDynamicsPartialsFiniteDiff, trajectory_optimizer.cc:426-563,
+OpenMP over timesteps) with a single vmapped ``jax.jacfwd`` over the
+step-local inverse dynamics: exact derivatives (the reference's autodiff
+tier, trajectory_optimizer.cc:892-960), batched over the horizon on TPU.
+
+tau_t depends on its configuration triplet through
+    v_t     = N^+(q_t)   (q_t   - q_{t-1}) / dt      (v_0 = v_init, const)
+    v_{t+1} = N^+(q_{t+1})(q_{t+1} - q_t) / dt
+    a_t     = (v_{t+1} - v_t) / dt
+    tau_t   = ID(q_{t+1}, v_{t+1}, a_t, contact(q_{t+1}, v_{t+1}))
+making the time structure tri-diagonal (trajectory_optimizer.h:244-256).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from idto_tpu.models.kinematics import nplus_matrix, qdot_to_v
+from idto_tpu.models.model import Model
+from idto_tpu.optimizer.problem import ProblemDefinition
+from idto_tpu.optimizer.trajectory import step_tau
+
+
+class IdPartials(NamedTuple):
+    """(T, nv, nq) arrays; dtau_dqm[0] is identically zero (q_{-1} does not
+    exist; reference boundary convention inverse_dynamics_partials.h:21-85)."""
+
+    dtau_dqm: jnp.ndarray
+    dtau_dqt: jnp.ndarray
+    dtau_dqp: jnp.ndarray
+
+
+def id_partials(
+    model: Model, prob: ProblemDefinition, contact, q
+) -> IdPartials:
+    dt = prob.dt
+
+    def tau_mid(qm, qt, qp):
+        v_t = qdot_to_v(model, qt, (qt - qm) / dt)
+        v_p = qdot_to_v(model, qp, (qp - qt) / dt)
+        a_t = (v_p - v_t) / dt
+        return step_tau(model, contact, qp, v_p, a_t)
+
+    def tau_first(qt, qp):
+        v_p = qdot_to_v(model, qp, (qp - qt) / dt)
+        a_t = (v_p - prob.v_init) / dt
+        return step_tau(model, contact, qp, v_p, a_t)
+
+    # t = 0 (no q_{t-1} dependence).
+    d0t, d0p = jax.jacfwd(tau_first, argnums=(0, 1))(q[0], q[1])
+
+    # t = 1..T-1, vmapped over the horizon.
+    if prob.num_steps > 1:
+        dm, dt_, dp = jax.vmap(jax.jacfwd(tau_mid, argnums=(0, 1, 2)))(
+            q[:-2], q[1:-1], q[2:]
+        )
+        dtau_dqm = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], axis=0)
+        dtau_dqt = jnp.concatenate([d0t[None], dt_], axis=0)
+        dtau_dqp = jnp.concatenate([d0p[None], dp], axis=0)
+    else:
+        dtau_dqm = jnp.zeros_like(d0t)[None]
+        dtau_dqt = d0t[None]
+        dtau_dqp = d0p[None]
+    return IdPartials(dtau_dqm, dtau_dqt, dtau_dqp)
+
+
+def nplus_stack(model: Model, q):
+    """N^+(q_t) for every knot: (T+1, nv, nq)."""
+    return jax.vmap(lambda qq: nplus_matrix(model, qq))(q)

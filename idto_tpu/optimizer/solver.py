@@ -1,0 +1,469 @@
+"""Gauss-Newton trust-region trajectory optimizer.
+
+Functionally equivalent to the reference's
+``TrajectoryOptimizer<double>::SolveFromWarmStart``
+(trajectory_optimizer.cc:2449-2651) with the same dogleg geometry
+(:2108-2202), trust-ratio rule (:1979-2035), diagonal scaling (:1225-1255),
+equality constraints on unactuated DoFs (:1267-1443), and convergence
+criteria (:2653-2689) -- but expressed as one jitted ``lax.while_loop``:
+
+  * the entire solve (derivatives, penta-diagonal solve, dogleg, accept /
+    reject, radius update) runs on device with no host round-trips,
+  * cost/gradient/Hessian are recomputed only on accepted steps via
+    ``lax.cond`` (the analog of the reference's lazy cache),
+  * everything vmaps over a leading scenario axis for batched solves.
+"""
+from __future__ import annotations
+
+import enum
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from idto_tpu.models.kinematics import normalize_quaternions
+from idto_tpu.models.model import Model
+from idto_tpu.ops import penta
+from idto_tpu.optimizer import trajectory
+from idto_tpu.optimizer.hessian import gauss_newton_hessian
+from idto_tpu.optimizer.partials import id_partials, nplus_stack
+from idto_tpu.optimizer.problem import (
+    ProblemDefinition,
+    ScalingMethod,
+    SolverMethod,
+    SolverParameters,
+)
+from idto_tpu.utils.structs import pytree_dataclass
+
+
+class SolverFlag(enum.IntEnum):
+    """reference: trajectory_optimizer_solution.h:16-21"""
+
+    SUCCESS = 0
+    LINESEARCH_MAX_ITERS = 1
+    FACTORIZATION_FAILED = 2
+    MAX_ITERATIONS = 3
+
+
+class ConvergenceReason(enum.IntEnum):
+    """Bitmask; reference: trajectory_optimizer_solution.h:25-31"""
+
+    NO_CRITERIA = 0
+    COST_REDUCTION = 1
+    GRADIENT = 2
+    STATE_CHANGE = 4
+
+
+@pytree_dataclass
+class Solution:
+    q: Any = None  # (T+1, nq)
+    v: Any = None  # (T+1, nv)
+    tau: Any = None  # (T, nv)
+
+
+@pytree_dataclass
+class Stats:
+    """Per-iteration statistics (reference: TrajectoryOptimizerStats,
+    trajectory_optimizer_solution.h:57-185).  Fixed-shape arrays of length
+    max_iterations; entries past `num_iters` are NaN/zero."""
+
+    num_iters: Any = None
+    cost: Any = None
+    delta: Any = None
+    rho: Any = None
+    q_norm: Any = None
+    dq_norm: Any = None
+    dqH_norm: Any = None
+    grad_norm: Any = None
+    dL_dq: Any = None
+    h_norm: Any = None
+    merit: Any = None
+    solver_flag: Any = None
+    convergence_reason: Any = None
+
+
+@pytree_dataclass
+class WarmStart:
+    """Device-resident carry between MPC re-solves (reference:
+    optimizer/warm_start.h:23-76 persists the state and the trust radius)."""
+
+    q: Any = None
+    Delta: Any = None
+
+
+class _Prepared(NamedTuple):
+    """Quantities valid at the current iterate (recomputed on accept only)."""
+
+    cost: Any
+    merit: Any
+    D: Any  # (T+1, nq) scale factors
+    g_merit: Any  # (T+1, nq) scaled merit gradient g~ (+ J~^T lambda)
+    H: Any  # PentaBands, scaled
+    factor: Any  # PentaFactorization of H
+    p_newton: Any  # -H~^{-1} g~  (scaled coordinates)
+    p_cauchy: Any  # -(g~^T g~ / g~^T H~ g~) g~
+    h: Any  # (n_h,) constraint violations (or zeros(0))
+    lam: Any  # (n_h,) Lagrange multipliers
+
+
+def _unactuated(model: Model):
+    return model.unactuated_vdofs
+
+
+def _constraint_jacobian_dense(model, prob, partials, unact, dtype):
+    """J = dh/dq as a dense (T*n_un, T+1, nq) array.
+
+    h stacks tau_t[unactuated] for t = 0..T-1; its rows are rows of the
+    tri-diagonal dtau/dq blocks (reference: trajectory_optimizer.cc:
+    1292-1334).
+    """
+    T = prob.num_steps
+    nq = model.nq
+    n_un = len(unact)
+    u = jnp.array(unact, dtype=jnp.int32)
+    dm = partials.dtau_dqm[:, u, :]  # (T, n_un, nq)
+    dt_ = partials.dtau_dqt[:, u, :]
+    dp = partials.dtau_dqp[:, u, :]
+    J = jnp.zeros((T, n_un, T + 1, nq), dtype=dtype)
+    t_idx = jnp.arange(T)
+    # dtau_t/dq_{t-1} -> column block t-1 (zero block for t=0 handled by
+    # dtau_dqm[0] == 0; scatter to column 0 is harmless since dm[0] = 0...
+    # but avoid aliasing with the t=0 column block: clip and rely on dm[0]=0).
+    J = J.at[t_idx, :, jnp.maximum(t_idx - 1, 0), :].add(dm)
+    J = J.at[t_idx, :, t_idx, :].add(dt_)
+    J = J.at[t_idx, :, t_idx + 1, :].add(dp)
+    # q_0 is not a decision variable: zero its column block.
+    J = J.at[:, :, 0, :].set(0.0)
+    return J.reshape(T * n_un, T + 1, nq)
+
+
+def _scale_factors(H: penta.PentaBands, method: ScalingMethod):
+    """D from the Hessian diagonal (reference: CalcScaleFactors,
+    trajectory_optimizer.cc:1225-1255).  Adaptive variants fall back to
+    their non-adaptive counterparts (no cross-iteration memory in the
+    functional formulation; both yield D <= the adaptive value on the first
+    iteration and configs in the suite use plain sqrt/double_sqrt)."""
+    diag = penta.extract_diagonal(H)
+    safe = jnp.maximum(diag, 1e-30)
+    if method in (ScalingMethod.SQRT, ScalingMethod.ADAPTIVE_SQRT):
+        return jnp.minimum(1.0, 1.0 / jnp.sqrt(safe))
+    return jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.sqrt(safe)))
+
+
+def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
+    """Compute every iterate-dependent quantity the trust-region step needs."""
+    contact = params.contact
+    cost = trajectory.cost(model, prob, contact, q)
+    g = trajectory.gradient(model, prob, contact, q)
+
+    parts = id_partials(model, prob, contact, q)
+    nplus = nplus_stack(model, q)
+    H = gauss_newton_hessian(model, prob, parts, nplus)
+
+    if params.scaling:
+        D = _scale_factors(H, params.scaling_method)
+        Hs = penta.scale_by_diagonal(H, D)
+        gs = D * g
+    else:
+        D = jnp.ones_like(g)
+        Hs = H
+        gs = g
+
+    factor = penta.factorize(Hs)
+
+    unact = _unactuated(model)
+    n_h = prob.num_steps * len(unact)
+    if params.equality_constraints and n_h > 0:
+        tau = trajectory.generalized_forces(model, prob, contact, q)
+        h = tau[:, jnp.array(unact, dtype=jnp.int32)].reshape(-1)
+        J = _constraint_jacobian_dense(model, prob, parts, unact, q.dtype)
+        Js = J * D[None, :, :]  # J~ = J D
+        # Lagrange multipliers: (J~ H~^-1 J~^T) lam = h - J~ H~^-1 g~
+        # (reference: trajectory_optimizer.cc:1371-1396).
+        Hinv_JT = jax.vmap(lambda r: penta.solve_factorized(factor, r))(Js)
+        S = jnp.einsum("anq,bnq->ab", Js, Hinv_JT)
+        Hinv_g = penta.solve_factorized(factor, gs)
+        rhs = h - jnp.einsum("anq,nq->a", Js, Hinv_g)
+        lam = jnp.linalg.solve(S, rhs)
+        g_merit = gs + jnp.einsum("anq,a->nq", Js, lam)
+        merit = cost + h @ lam
+    else:
+        h = jnp.zeros(0, dtype=q.dtype)
+        lam = jnp.zeros(0, dtype=q.dtype)
+        g_merit = gs
+        merit = cost
+
+    p_newton = -penta.solve_factorized(factor, g_merit)
+    Hg = penta.matvec(Hs, g_merit)
+    gg = jnp.sum(g_merit * g_merit)
+    gHg = jnp.sum(g_merit * Hg)
+    p_cauchy = -(gg / jnp.maximum(gHg, 1e-300)) * g_merit
+
+    return _Prepared(
+        cost=cost,
+        merit=merit,
+        D=D,
+        g_merit=g_merit,
+        H=Hs,
+        factor=factor,
+        p_newton=p_newton,
+        p_cauchy=p_cauchy,
+        h=h,
+        lam=lam,
+    )
+
+
+def _dogleg(prep: _Prepared, Delta):
+    """Dogleg step (reference: CalcDoglegPoint,
+    trajectory_optimizer.cc:2108-2202).  Returns (dq_scaled, dq,
+    boundary_active); dq_scaled is in the scaled coordinates the quadratic
+    model lives in, dq = D * dq_scaled is the physical update."""
+    pU = prep.p_cauchy / Delta  # Delta-normalized, per the reference
+    pH = prep.p_newton / Delta
+    pU_norm = jnp.sqrt(jnp.sum(pU * pU))
+    pH_norm = jnp.sqrt(jnp.sum(pH * pH))
+
+    # Candidate 1: first leg hits the boundary.
+    dq1 = (Delta / jnp.maximum(pU_norm, 1e-300)) * pU
+
+    # Candidate 2: full Newton step inside the region.
+    dq2 = pH * Delta
+
+    # Candidate 3: second-leg / boundary intersection
+    # (SolveDoglegQuadratic, :2037-2066).
+    diff = pH - pU
+    a = jnp.sum(diff * diff)
+    b = 2.0 * jnp.sum(pU * diff)
+    c = jnp.sum(pU * pU) - 1.0
+    a_safe = jnp.maximum(a, 1e-300)
+    det = jnp.maximum((b / a_safe) ** 2 - 4.0 * (c / a_safe), 0.0)
+    s_quad = (-(b / a_safe) + jnp.sqrt(det)) / 2.0
+    s_lin = -c / jnp.where(b == 0, 1.0, b)
+    s = jnp.where(a < jnp.finfo(Delta.dtype).eps, s_lin, s_quad)
+    dq3 = (pU + s * diff) * Delta
+
+    first_leg = pU_norm >= 1.0
+    newton_inside = pH_norm <= 1.0
+    dq_scaled = jnp.where(
+        first_leg, dq1, jnp.where(newton_inside, dq2, dq3)
+    )
+    boundary_active = jnp.logical_or(
+        first_leg, jnp.logical_not(newton_inside)
+    )
+    return dq_scaled, prep.D * dq_scaled, boundary_active
+
+
+def _merit_at(model, prob, params, q_try, lam):
+    """Merit phi = L(q) + h(q)^T lam_k with frozen multipliers
+    (reference: CalcTrustRatio, trajectory_optimizer.cc:1988-2006)."""
+    contact = params.contact
+    unact = _unactuated(model)
+    cost = trajectory.cost(model, prob, contact, q_try)
+    if params.equality_constraints and len(unact) > 0 and lam.shape[0] > 0:
+        tau = trajectory.generalized_forces(model, prob, contact, q_try)
+        h = tau[:, jnp.array(unact, dtype=jnp.int32)].reshape(-1)
+        return cost + h @ lam
+    return cost
+
+
+def _add_to_q(model, params, q, dq):
+    q_new = q + dq
+    if params.normalize_quaternions:
+        q_new = normalize_quaternions(model, q_new)
+    return q_new
+
+
+class _LoopState(NamedTuple):
+    k: Any
+    q: Any
+    Delta: Any
+    prep: _Prepared
+    prev_cost: Any
+    reason: Any
+    done: Any
+    stats: Stats
+
+
+def _empty_stats(max_iters, dtype):
+    nan = jnp.full(max_iters, jnp.nan, dtype=dtype)
+    return Stats(
+        num_iters=jnp.zeros((), jnp.int32),
+        cost=nan, delta=nan, rho=nan, q_norm=nan, dq_norm=nan,
+        dqH_norm=nan, grad_norm=nan, dL_dq=nan, h_norm=nan, merit=nan,
+        solver_flag=jnp.zeros((), jnp.int32),
+        convergence_reason=jnp.zeros((), jnp.int32),
+    )
+
+
+def solve_trust_region(
+    model: Model,
+    prob: ProblemDefinition,
+    params: SolverParameters,
+    q_guess,
+    Delta0=None,
+):
+    """Full trust-region solve from an initial guess.
+
+    Returns (Solution, Stats, WarmStart).  jit-able; vmap over a leading
+    batch axis for scenario parallelism.
+    """
+    dtype = q_guess.dtype
+    Delta = jnp.asarray(
+        params.Delta0 if Delta0 is None else Delta0, dtype=dtype
+    )
+    eta = 0.0  # acceptance threshold (reference :2476-2477)
+    eps_guard = 10 * jnp.finfo(dtype).eps / prob.dt / prob.dt
+
+    q0 = q_guess
+    prep0 = _prepare(model, prob, params, q0)
+
+    def cond(s: _LoopState):
+        return jnp.logical_and(s.k < params.max_iterations, ~s.done)
+
+    def body(s: _LoopState):
+        prep = s.prep
+        dq_scaled, dq, boundary_active = _dogleg(prep, s.Delta)
+
+        # ---- trust ratio (reference: CalcTrustRatio) ----
+        q_try = _add_to_q(model, params, s.q, dq)
+        merit_try = _merit_at(model, prob, params, q_try, prep.lam)
+        Hdq = penta.matvec(prep.H, dq_scaled)
+        predicted = -jnp.sum(prep.g_merit * dq_scaled) - 0.5 * jnp.sum(
+            dq_scaled * Hdq
+        )
+        actual = prep.merit - merit_try
+        rho = jnp.where(
+            jnp.logical_and(predicted < eps_guard, actual < eps_guard),
+            0.5,
+            actual / predicted,
+        )
+
+        accept = rho > eta
+        q_new = jnp.where(accept, q_try, s.q)
+
+        # ---- statistics ----
+        dq_norm = jnp.linalg.norm(dq)
+        st = s.stats
+        k = s.k
+        st = st.replace(
+            cost=st.cost.at[k].set(prep.cost),
+            delta=st.delta.at[k].set(s.Delta),
+            rho=st.rho.at[k].set(rho),
+            q_norm=st.q_norm.at[k].set(jnp.linalg.norm(s.q)),
+            dq_norm=st.dq_norm.at[k].set(dq_norm),
+            dqH_norm=st.dqH_norm.at[k].set(jnp.linalg.norm(prep.p_newton)),
+            grad_norm=st.grad_norm.at[k].set(jnp.linalg.norm(prep.g_merit)),
+            dL_dq=st.dL_dq.at[k].set(
+                jnp.sum(prep.g_merit * dq_scaled) / prep.cost
+            ),
+            h_norm=st.h_norm.at[k].set(
+                jnp.linalg.norm(prep.h) if prep.h.shape[0] else 0.0
+            ),
+            merit=st.merit.at[k].set(prep.merit),
+        )
+
+        # ---- convergence (only on accepted steps; reference :2600-2611) ----
+        reason = jnp.zeros((), jnp.int32)
+        if params.check_convergence:
+            tol = params.tolerances
+            cost_new = jnp.where(accept, merit_try, prep.cost)
+            crit_cost = jnp.abs(s.prev_cost - cost_new) < (
+                tol.abs_cost_reduction + tol.rel_cost_reduction * cost_new
+            )
+            crit_grad = jnp.abs(jnp.sum(prep.g_merit * dq_scaled)) < (
+                tol.abs_gradient_along_dq
+                + tol.rel_gradient_along_dq * prep.cost
+            )
+            crit_state = dq_norm < (
+                tol.abs_state_change
+                + tol.rel_state_change * jnp.linalg.norm(s.q)
+            )
+            reason = jnp.where(accept, (
+                crit_cost.astype(jnp.int32) * ConvergenceReason.COST_REDUCTION
+                + crit_grad.astype(jnp.int32) * ConvergenceReason.GRADIENT
+                + crit_state.astype(jnp.int32) * ConvergenceReason.STATE_CHANGE
+            ), 0)
+        done = reason > 0
+
+        # ---- trust region update (reference :2613-2622) ----
+        Delta_new = jnp.where(
+            rho < 0.25,
+            s.Delta * 0.25,
+            jnp.where(
+                jnp.logical_and(rho > 0.75, boundary_active),
+                jnp.minimum(2.0 * s.Delta, params.Delta_max),
+                s.Delta,
+            ),
+        )
+        Delta_new = jnp.where(done, s.Delta, Delta_new)
+
+        # ---- recompute derivatives only when the iterate moved ----
+        prep_new = jax.lax.cond(
+            jnp.logical_and(accept, ~done),
+            lambda qq: _prepare(model, prob, params, qq),
+            lambda qq: prep,
+            q_new,
+        )
+
+        prev_cost = jnp.where(accept, merit_try, s.prev_cost)
+        return _LoopState(
+            k=s.k + 1,
+            q=q_new,
+            Delta=Delta_new,
+            prep=prep_new,
+            prev_cost=prev_cost,
+            reason=reason,
+            done=done,
+            stats=st,
+        )
+
+    init = _LoopState(
+        k=jnp.zeros((), jnp.int32),
+        q=q0,
+        Delta=Delta,
+        prep=prep0,
+        prev_cost=prep0.cost,
+        reason=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+        stats=_empty_stats(params.max_iterations, dtype),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    q = final.q
+    contact = params.contact
+    v = trajectory.velocities(model, prob, q)
+    tau = trajectory.generalized_forces(model, prob, contact, q)
+    flag = jnp.where(
+        final.reason > 0,
+        jnp.int32(SolverFlag.SUCCESS),
+        jnp.where(
+            final.k >= params.max_iterations,
+            jnp.int32(SolverFlag.MAX_ITERATIONS),
+            jnp.int32(SolverFlag.SUCCESS),
+        ),
+    )
+    stats = final.stats.replace(
+        num_iters=final.k,
+        solver_flag=flag,
+        convergence_reason=final.reason,
+    )
+    solution = Solution(q=q, v=v, tau=tau)
+    warm = WarmStart(q=q, Delta=final.Delta)
+    return solution, stats, warm
+
+
+def solve(model, prob, params, q_guess):
+    """Reference ``TrajectoryOptimizer::Solve`` analog
+    (trajectory_optimizer.cc:2213-2234): solve from a fresh trust region."""
+    if params.method == SolverMethod.LINESEARCH:
+        from idto_tpu.optimizer.linesearch import solve_linesearch
+
+        return solve_linesearch(model, prob, params, q_guess)
+    return solve_trust_region(model, prob, params, q_guess)
+
+
+def solve_from_warm_start(model, prob, params, warm: WarmStart):
+    """Reference ``SolveFromWarmStart`` (:2449): resume with the carried
+    trust-region radius; q_0 of the carried trajectory must already be
+    reset to the measured state (ResetInitialConditions analog)."""
+    return solve_trust_region(model, prob, params, warm.q, Delta0=warm.Delta)
