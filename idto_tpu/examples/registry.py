@@ -1,0 +1,147 @@
+"""Example registry: builds the model + config for each reference example.
+
+The analog of each reference example's ``CreatePlantModel`` override
+(e.g. examples/spinner/spinner.cc:34-40, examples/hopper/hopper.cc:36-50)
+plus the ground-geometry registration the C++ examples do in code.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+from idto_tpu.models.model import GeomType, JointType, Model, ModelBuilder
+from idto_tpu.models.urdf import parse_urdf_file
+from idto_tpu.utils.find_resource import find_resource
+
+
+def _add_ground_box(
+    builder: ModelBuilder, *, z_top: float = 0.0, size: float = 25.0,
+    depth: float = 10.0
+) -> None:
+    """Large ground box welded to the world (the pattern of
+    examples/hopper/hopper.cc:43-49, mini_cheetah.cc:49-55)."""
+    builder.add_geometry(
+        "world",
+        GeomType.BOX,
+        [size / 2, size / 2, depth / 2],
+        p=(0.0, 0.0, z_top - depth / 2),
+        name="ground",
+    )
+
+
+def _pendulum() -> ModelBuilder:
+    return parse_urdf_file(find_resource("idto_tpu/assets/pendulum.urdf"))
+
+
+def _acrobot() -> ModelBuilder:
+    return parse_urdf_file(find_resource("idto_tpu/assets/acrobot.urdf"))
+
+
+def _spinner() -> ModelBuilder:
+    return parse_urdf_file(
+        find_resource("idto_tpu/assets/spinner_friction.urdf")
+    )
+
+
+def _hopper() -> ModelBuilder:
+    b = parse_urdf_file(find_resource("idto_tpu/assets/hopper.urdf"))
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
+def _mini_cheetah(hills: int = 0, hill_height: float = 0.05,
+                  hill_spacing: float = 1.0) -> ModelBuilder:
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/mini_cheetah.urdf")
+    )
+    _add_ground_box(b, z_top=0.0)
+    # Optional cylindrical "hills" (mini_cheetah.cc:57-68).
+    from idto_tpu.models.rotations import rpy_to_rot
+
+    for i in range(hills):
+        px = 2.0 + hill_spacing * i
+        R = np.asarray(rpy_to_rot(np.array([np.pi / 2, 0.0, 0.0])))
+        b.add_geometry(
+            "world", GeomType.CYLINDER, [1.0, 12.5],
+            R=R, p=(px, 0.0, -1.0 + hill_height), name=f"hill_{i}",
+        )
+    return b
+
+
+def _airhockey() -> ModelBuilder:
+    """Programmatic pusher + puck model (examples/airhockey/airhockey.cc:
+    44-100): prismatic x/y + revolute pusher over dummy massless links, a
+    planar-joint puck; both with sphere collision of radius 0.1."""
+    b = ModelBuilder()
+    mass, radius, height = 0.1, 0.1, 0.05
+    # Solid cylinder inertia about z.
+    izz = 0.5 * mass * radius**2
+    ixx = mass * (3 * radius**2 + height**2) / 12.0
+    inertia = np.diag([ixx, ixx, izz])
+    b.add_link("dummy1", "world", JointType.PRISMATIC,
+               joint_name="pusher_x", axis=(1, 0, 0))
+    b.add_link("dummy2", "dummy1", JointType.PRISMATIC,
+               joint_name="pusher_y", axis=(0, 1, 0))
+    b.add_link("pusher", "dummy2", JointType.REVOLUTE,
+               joint_name="pusher_theta", axis=(0, 0, 1),
+               mass=mass, inertia=inertia)
+    b.add_actuator("pusher_x")
+    b.add_actuator("pusher_y")
+    b.add_actuator("pusher_theta")
+    b.add_geometry("pusher", GeomType.SPHERE, [radius],
+                   name="pusher_collision")
+    b.add_link("puck", "world", JointType.PLANAR, joint_name="puck_joint",
+               damping=(0.1, 0.1, 0.1), mass=mass, inertia=inertia)
+    b.add_geometry("puck", GeomType.SPHERE, [radius], name="puck_collision")
+    return b
+
+
+@dataclasses.dataclass(frozen=True)
+class ExampleDef:
+    name: str
+    build: Callable[[], ModelBuilder]
+    config: str
+
+
+_REGISTRY = {
+    "pendulum": ExampleDef("pendulum", _pendulum, "pendulum.yaml"),
+    "acrobot": ExampleDef("acrobot", _acrobot, "acrobot.yaml"),
+    "spinner": ExampleDef("spinner", _spinner, "spinner.yaml"),
+    "hopper": ExampleDef("hopper", _hopper, "hopper.yaml"),
+    "mini_cheetah": ExampleDef(
+        "mini_cheetah", _mini_cheetah, "mini_cheetah.yaml"
+    ),
+    "airhockey": ExampleDef("airhockey", _airhockey, "airhockey.yaml"),
+}
+
+
+def example_names():
+    return sorted(_REGISTRY)
+
+
+def get_example(name: str) -> ExampleDef:
+    return _REGISTRY[name]
+
+
+def load_example(name: str, test_mode: bool = False):
+    """Build (model, config, problem, params, q_guess) for an example."""
+    from idto_tpu.examples.config import (
+        ExampleConfig,
+        build_initial_guess,
+        build_problem,
+        build_solver_params,
+    )
+
+    ex = get_example(name)
+    cfg = ExampleConfig.load(
+        find_resource(f"idto_tpu/examples/configs/{ex.config}")
+    )
+    if test_mode:
+        cfg = cfg.apply_test_mode()
+    model = ex.build().finalize()
+    prob = build_problem(cfg, model)
+    params = build_solver_params(cfg)
+    q_guess = build_initial_guess(cfg, prob)
+    return model, cfg, prob, params, q_guess

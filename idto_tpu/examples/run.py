@@ -1,0 +1,89 @@
+"""Example runner CLI: the analog of the reference's per-example binaries
+(TrajOptExample::RunExample, examples/example_base.cc:28-57).
+
+Usage:
+    python -m idto_tpu.examples.run spinner [--test] [--mpc]
+    python -m idto_tpu.examples.run --list
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("example", nargs="?", help="example name")
+    parser.add_argument("--list", action="store_true", help="list examples")
+    parser.add_argument(
+        "--test", action="store_true",
+        help="smoke-test mode: 10 iterations, no MPC (reference --test flag)",
+    )
+    parser.add_argument("--mpc", action="store_true", help="run closed-loop MPC")
+    parser.add_argument("--stats-csv", default=None,
+                        help="write per-iteration stats to this CSV file")
+    args = parser.parse_args(argv)
+
+    from idto_tpu.examples.registry import example_names, load_example
+
+    if args.list or not args.example:
+        print("available examples:", ", ".join(example_names()))
+        return 0
+
+    import jax
+
+    model, cfg, prob, params, q_guess = load_example(
+        args.example, test_mode=args.test
+    )
+    print(
+        f"[{args.example}] nq={model.nq} nv={model.nv} nu={model.nu} "
+        f"T={prob.num_steps} dt={prob.dt} "
+        f"pairs={len(model.geoms.pairs)}"
+    )
+
+    if args.mpc and cfg.mpc and not args.test:
+        from idto_tpu.mpc.runner import run_mpc
+
+        result = run_mpc(model, cfg, prob, params, q_guess)
+        print(
+            f"MPC: {result.num_solves} solves, "
+            f"mean solve time {1e3 * result.mean_solve_time:.2f} ms "
+            f"({1.0 / max(result.mean_solve_time, 1e-9):.1f} Hz)"
+        )
+        return 0
+
+    from idto_tpu.optimizer.solver import solve
+
+    t0 = time.time()
+    solve_jit = jax.jit(lambda qg: solve(model, prob, params, qg))
+    sol, stats, warm = jax.block_until_ready(solve_jit(q_guess))
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    sol, stats, warm = jax.block_until_ready(solve_jit(q_guess))
+    t_solve = time.time() - t0
+
+    iters = int(stats.num_iters)
+    costs = np.asarray(stats.cost)
+    print(f"iterations:     {iters}")
+    print(f"initial cost:   {costs[0]:.6g}")
+    print(f"final cost:     {costs[max(iters - 1, 0)]:.6g}")
+    print(f"solve time:     {t_solve * 1e3:.1f} ms (compile {t_compile:.1f} s)")
+    print(f"final q[T]:     {np.asarray(sol.q[-1])}")
+    tau = np.asarray(sol.tau)
+    print(f"max |tau|:      {np.abs(tau).max():.4g}")
+
+    if args.stats_csv or (cfg.save_solver_stats_csv and not args.test):
+        from idto_tpu.optimizer.stats_io import save_stats_csv
+
+        path = args.stats_csv or "solver_stats.csv"
+        save_stats_csv(stats, path)
+        print(f"stats written to {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

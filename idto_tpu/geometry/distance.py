@@ -183,6 +183,8 @@ def signed_distance(
             ta, params_a, R_a, p_a, p_b, params_b[0]
         )
         return phi, -n, wb, wa
+    if ta == GeomType.BOX and tb == GeomType.BOX:
+        return _box_vs_box(params_a, R_a, p_a, params_b, R_b, p_b)
     if ta == GeomType.CAPSULE and tb in (GeomType.BOX, GeomType.HALFSPACE):
         return _capsule_vs_shape(params_a, R_a, p_a, tb, params_b, R_b, p_b)
     if tb == GeomType.CAPSULE and ta in (GeomType.BOX, GeomType.HALFSPACE):
@@ -193,6 +195,49 @@ def signed_distance(
     raise NotImplementedError(
         f"signed distance for pair ({ta.name}, {tb.name}) not implemented"
     )
+
+
+def _box_vs_box(params_a, R_a, p_a, params_b, R_b, p_b):
+    """Approximate box-box distance by sampling each box's 8 corners
+    against the other box and taking the closest feature (both directions
+    for symmetry).  Exact for vertex-face contact -- the dominant case in
+    the reference suite (robot torso / cube resting on a large flat box) --
+    and a smooth usable bound otherwise."""
+    import itertools
+
+    def corners(half):
+        signs = jnp.array(
+            list(itertools.product([-1.0, 1.0], repeat=3)), dtype=half.dtype
+        )
+        return signs * half  # (8, 3)
+
+    best = None
+    # Corners of A against box B.
+    ca_world = jnp.einsum("ij,nj->ni", R_a, corners(params_a[:3])) + p_a
+    for i in range(8):
+        c = ca_world[i]
+        c_local = R_b.T @ (c - p_b)
+        phi, n_local, closest_local = _point_box_distance(c_local, params_b[:3])
+        n_w = -(R_b @ n_local)  # A -> B direction
+        wb = R_b @ closest_local + p_b
+        cand = (phi, n_w, c, wb)
+        if best is None:
+            best = cand
+        else:
+            pick = phi < best[0]
+            best = tuple(jnp.where(pick, a, b) for a, b in zip(cand, best))
+    # Corners of B against box A.
+    cb_world = jnp.einsum("ij,nj->ni", R_b, corners(params_b[:3])) + p_b
+    for i in range(8):
+        c = cb_world[i]
+        c_local = R_a.T @ (c - p_a)
+        phi, n_local, closest_local = _point_box_distance(c_local, params_a[:3])
+        n_w = R_a @ n_local  # outward from A = toward B
+        wa = R_a @ closest_local + p_a
+        cand = (phi, n_w, wa, c)
+        pick = phi < best[0]
+        best = tuple(jnp.where(pick, a, b) for a, b in zip(cand, best))
+    return best
 
 
 def _capsule_vs_shape(params_cap, R_c, p_c, shape_type, params_s, R_s, p_s):

@@ -78,13 +78,13 @@ def _parse_inertial(link: ET.Element):
 def _parse_geometry(geom_el: ET.Element):
     """Returns (GeomType, params) or None for unsupported (e.g. mesh)."""
     for child in geom_el:
-        tag = child.tag
+        tag = child.tag.rsplit("}", 1)[-1]  # strip any xml namespace
         if tag == "sphere":
             return GeomType.SPHERE, [float(child.get("radius"))]
         if tag == "box":
             size = _floats(child.get("size"))
             return GeomType.BOX, list(size / 2.0)
-        if tag == "capsule" or tag == "drake:capsule":
+        if tag == "capsule":
             return GeomType.CAPSULE, [
                 float(child.get("radius")),
                 float(child.get("length")) / 2.0,
@@ -111,6 +111,13 @@ def parse_urdf_string(
     floating joint (Drake free-body behavior); True forces it; False welds
     roots to the world.
     """
+    # URDFs in the wild use the drake: namespace prefix without declaring
+    # it (e.g. the reference's mini_cheetah_mesh.urdf); declare it so the
+    # XML parser accepts the file.
+    if "drake:" in text and "xmlns:drake" not in text:
+        text = text.replace(
+            "<robot", '<robot xmlns:drake="http://drake.mit.edu"', 1
+        )
     root = ET.fromstring(text)
     builder = builder or ModelBuilder()
 

@@ -1,0 +1,123 @@
+"""Closed-loop MPC harness.
+
+The analog of ``TrajOptExample::RunModelPredictiveControl``
+(examples/example_base.cc:59-187): an initial full solve seeds the warm
+start, then the loop alternates
+
+    [solve at t_k]  ->  [simulate one replan period under the *previous*
+                         trajectory]  ->  ...
+
+The one-period lag mirrors the reference's DiscreteTimeDelay between the
+controller and the interpolator (example_base.cc:113-126), which models
+solver latency.  Both the MPC step and the simulation segment are jitted;
+the python loop only orchestrates and collects timing.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idto_tpu.models.model import Model
+from idto_tpu.mpc.controller import (
+    MpcCarry,
+    make_mpc_params,
+    mpc_initialize,
+    mpc_step,
+)
+from idto_tpu.mpc.simulator import simulate_segment
+
+
+@dataclasses.dataclass
+class MpcResult:
+    num_solves: int
+    mean_solve_time: float  # seconds per re-solve (after warmup)
+    times: np.ndarray
+    q_log: np.ndarray
+    v_log: np.ndarray
+    u_log: np.ndarray
+
+
+def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
+    replan_period = 1.0 / cfg.controller_frequency
+    h = cfg.sim_time_step
+    substeps = max(1, int(round(replan_period / h)))
+    num_replans = int(cfg.sim_time * cfg.controller_frequency)
+
+    rel = np.asarray(
+        cfg.q_nom_relative_to_q_init
+        if cfg.q_nom_relative_to_q_init is not None
+        else [False] * model.nq,
+        dtype=np.float64,
+    )
+    Kp = jnp.asarray(np.asarray(cfg.Kp, dtype=np.float64))
+    Kd = jnp.asarray(np.asarray(cfg.Kd, dtype=np.float64))
+
+    mpc_params = make_mpc_params(params, cfg.mpc_iters)
+
+    # Initial full solve (seeds the warm start).
+    carry, _ = jax.jit(
+        lambda qg: mpc_initialize(model, prob, params, qg)
+    )(q_guess)
+
+    step_fn = jax.jit(
+        lambda c, x0, t: mpc_step(
+            model, prob, mpc_params, jnp.asarray(rel), c, x0, t
+        )
+    )
+    sim_fn = jax.jit(
+        lambda stored, q0, v0, t: simulate_segment(
+            model,
+            params.contact,
+            h,
+            substeps,
+            stored,
+            Kp,
+            Kd,
+            q0,
+            v0,
+            t,
+            cfg.feed_forward,
+        )
+    )
+
+    q = prob.q_init
+    v = prob.v_init
+    q_log, v_log, u_log, times = [], [], [], []
+    solve_times = []
+
+    for k in range(num_replans):
+        t_now = k * replan_period
+        x0 = jnp.concatenate([q, v])
+
+        t0 = time.perf_counter()
+        new_carry, sol = jax.block_until_ready(step_fn(carry, x0, t_now))
+        solve_times.append(time.perf_counter() - t0)
+
+        # Simulate under the PREVIOUS stored trajectory (one-period delay).
+        q, v, log = jax.block_until_ready(
+            sim_fn(carry.stored, q, v, jnp.asarray(t_now))
+        )
+        carry = new_carry
+
+        q_log.append(np.asarray(log[0]))
+        v_log.append(np.asarray(log[1]))
+        u_log.append(np.asarray(log[2]))
+        times.append(t_now + np.arange(1, substeps + 1) * h)
+
+    # Drop the first (compile) timing when averaging.
+    mean_t = float(np.mean(solve_times[1:])) if len(solve_times) > 1 else (
+        float(solve_times[0])
+    )
+    return MpcResult(
+        num_solves=num_replans,
+        mean_solve_time=mean_t,
+        times=np.concatenate(times) if times else np.zeros(0),
+        q_log=np.concatenate(q_log) if q_log else np.zeros((0, model.nq)),
+        v_log=np.concatenate(v_log) if v_log else np.zeros((0, model.nv)),
+        u_log=np.concatenate(u_log) if u_log else np.zeros((0, model.nu)),
+    )
