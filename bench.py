@@ -20,6 +20,9 @@ import time
 
 def main():
     import jax
+
+    from idto_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from idto_tpu.examples.registry import load_example

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from idto_tpu.geometry.distance import signed_distance
 from idto_tpu.models.kinematics import body_velocities
@@ -46,20 +48,15 @@ class ContactInfo(NamedTuple):
     force: jnp.ndarray  # (np, 3) force on body B at C, world
 
 
-def _geom_world_poses(model: Model, R_links, p_links):
-    """World pose of every collision geometry (vectorized gather)."""
-    geoms = model.geoms
-    Rs, ps = [], []
-    for g in range(geoms.num_geoms):
-        b = geoms.bodies[g]
-        if b < 0:
-            Rw = jnp.eye(3, dtype=p_links.dtype)
-            pw = jnp.zeros(3, dtype=p_links.dtype)
-        else:
-            Rw, pw = R_links[b], p_links[b]
-        Rs.append(Rw @ geoms.R[g])
-        ps.append(pw + Rw @ geoms.p[g])
-    return Rs, ps
+def _group_pairs(geoms):
+    """Group candidate pairs by (type_a, type_b) so each group evaluates as
+    ONE vmapped distance computation -- the trace stays O(#pair types), not
+    O(#pairs), which keeps compile times flat as models grow."""
+    groups = {}
+    for (ia, ib) in geoms.pairs:
+        key = (geoms.types[ia], geoms.types[ib])
+        groups.setdefault(key, []).append((ia, ib))
+    return groups
 
 
 def contact_wrenches(
@@ -84,7 +81,20 @@ def contact_wrenches(
         return ((torques, forces), empty) if return_info else (torques, forces)
 
     R_l, p_l, w_l, pd_l = body_velocities(model, q, v)
-    Rg, pg = _geom_world_poses(model, R_l, p_l)
+    # Geometry world poses, computed as one gather + batched compose.
+    bodies = np.asarray(geoms.bodies)
+    body_idx = np.maximum(bodies, 0)
+    is_world = (bodies < 0)[:, None]
+    Rg_b = jnp.where(
+        is_world[:, :, None], jnp.eye(3, dtype=dtype)[None], R_l[body_idx]
+    )
+    pg_b = jnp.where(is_world, 0.0, p_l[body_idx])
+    Rg = jnp.einsum("nij,njk->nik", Rg_b, geoms.R.astype(dtype))
+    pg = pg_b + jnp.einsum("nij,nj->ni", Rg_b, geoms.p.astype(dtype))
+    # Body point-velocities of geometry-owning links (world rows zeroed).
+    w_g = jnp.where(is_world, 0.0, w_l[body_idx])
+    pd_g = jnp.where(is_world, 0.0, pd_l[body_idx])
+    pl_g = jnp.where(is_world, 0.0, p_l[body_idx])
 
     k = params.stiffness
     sigma = params.smoothing_factor
@@ -92,69 +102,80 @@ def contact_wrenches(
     vs = params.stiction_velocity
     mu = params.friction_coefficient
 
-    infos = []
-    for (ia, ib) in geoms.pairs:
-        phi, nhat, wa, wb = signed_distance(
-            geoms.types[ia], geoms.params[ia], Rg[ia], pg[ia],
-            geoms.types[ib], geoms.params[ib], Rg[ib], pg[ib],
-        )
-        p_c = 0.5 * (wa + wb)
+    all_phi, all_n, all_pc, all_f = [], [], [], []
+    seg_ids, seg_torques, seg_forces = [], [], []
 
-        body_a, body_b = geoms.bodies[ia], geoms.bodies[ib]
+    for (ta, tb), pairs in _group_pairs(geoms).items():
+        ia = np.array([p[0] for p in pairs])
+        ib = np.array([p[1] for p in pairs])
 
-        def point_vel(body, pc):
-            if body < 0:
-                return jnp.zeros(3, dtype=dtype)
-            return pd_l[body] + jnp.cross(w_l[body], pc - p_l[body])
-
-        v_a = point_vel(body_a, p_c)
-        v_b = point_vel(body_b, p_c)
-        v_rel = v_b - v_a  # velocity of B relative to A at C
-
-        vn = nhat @ v_rel
-        vt = v_rel - vn * nhat
-
-        # Hunt-Crossley-like dissipation (piecewise C^1).
-        s = vn / vd
-        dissipation = jnp.where(
-            s < 0.0,
-            1.0 - s,
-            jnp.where(s < 2.0, (s - 2.0) ** 2 / 4.0, 0.0),
-        )
-
-        # Softplus normal force with the reference's overflow guard
-        # (exponent >= 37 -> linear limit -k*phi).
-        exponent = -phi / sigma
-        fn_compliant = jnp.where(
-            exponent >= 37.0,
-            -k * phi,
-            sigma * k * jnp.log1p(jnp.exp(jnp.minimum(exponent, 37.0))),
-        )
-        fn = fn_compliant * dissipation
-
-        # Regularized friction (algebraic sigmoid).
-        that = -vt / jnp.sqrt(vs * vs + vt @ vt)
-        f_t = mu * fn * that
-
-        f_on_b = nhat * fn + f_t  # force on B at C, world
-
-        # Accumulate wrenches about body origins.
-        if body_b >= 0:
-            torques = torques.at[body_b].add(
-                jnp.cross(p_c - p_l[body_b], f_on_b)
+        def pair_force(Ra, pa, prm_a, Rb, pb, prm_b,
+                       wa_body, pda_body, pla_body,
+                       wb_body, pdb_body, plb_body):
+            phi, nhat, wa, wb = signed_distance(
+                ta, prm_a, Ra, pa, tb, prm_b, Rb, pb
             )
-            forces = forces.at[body_b].add(f_on_b)
-        if body_a >= 0:
-            torques = torques.at[body_a].add(
-                jnp.cross(p_c - p_l[body_a], -f_on_b)
+            p_c = 0.5 * (wa + wb)
+            v_a = pda_body + jnp.cross(wa_body, p_c - pla_body)
+            v_b = pdb_body + jnp.cross(wb_body, p_c - plb_body)
+            v_rel = v_b - v_a
+
+            vn = nhat @ v_rel
+            vt = v_rel - vn * nhat
+
+            # Hunt-Crossley-like dissipation (piecewise C^1).
+            s = vn / vd
+            dissipation = jnp.where(
+                s < 0.0,
+                1.0 - s,
+                jnp.where(s < 2.0, (s - 2.0) ** 2 / 4.0, 0.0),
             )
-            forces = forces.at[body_a].add(-f_on_b)
-        infos.append((phi, nhat, p_c, f_on_b))
+            # Softplus normal force with the reference's overflow guard
+            # (exponent >= 37 -> linear limit -k*phi).
+            exponent = -phi / sigma
+            fn_compliant = jnp.where(
+                exponent >= 37.0,
+                -k * phi,
+                sigma * k * jnp.log1p(jnp.exp(jnp.minimum(exponent, 37.0))),
+            )
+            fn = fn_compliant * dissipation
+            # Regularized friction (algebraic sigmoid).
+            that = -vt / jnp.sqrt(vs * vs + vt @ vt)
+            f_on_b = nhat * fn + mu * fn * that
+            tq_b = jnp.cross(p_c - plb_body, f_on_b)
+            tq_a = jnp.cross(p_c - pla_body, -f_on_b)
+            return phi, nhat, p_c, f_on_b, tq_a, tq_b
+
+        phi, nhat, p_c, f_on_b, tq_a, tq_b = jax.vmap(pair_force)(
+            Rg[ia], pg[ia], geoms.params[ia].astype(dtype),
+            Rg[ib], pg[ib], geoms.params[ib].astype(dtype),
+            w_g[ia], pd_g[ia], pl_g[ia],
+            w_g[ib], pd_g[ib], pl_g[ib],
+        )
+
+        all_phi.append(phi)
+        all_n.append(nhat)
+        all_pc.append(p_c)
+        all_f.append(f_on_b)
+        # Scatter-add wrenches; world (-1) rows routed to a dump slot nl.
+        ba = np.where(bodies[ia] < 0, nl, bodies[ia])
+        bb = np.where(bodies[ib] < 0, nl, bodies[ib])
+        seg_ids.append(np.concatenate([ba, bb]))
+        seg_torques.append(jnp.concatenate([tq_a, tq_b], axis=0))
+        seg_forces.append(jnp.concatenate([-f_on_b, f_on_b], axis=0))
+
+    ids = jnp.asarray(np.concatenate(seg_ids))
+    torques = jax.ops.segment_sum(
+        jnp.concatenate(seg_torques, axis=0), ids, num_segments=nl + 1
+    )[:nl]
+    forces = jax.ops.segment_sum(
+        jnp.concatenate(seg_forces, axis=0), ids, num_segments=nl + 1
+    )[:nl]
 
     info = ContactInfo(
-        jnp.stack([i[0] for i in infos]),
-        jnp.stack([i[1] for i in infos]),
-        jnp.stack([i[2] for i in infos]),
-        jnp.stack([i[3] for i in infos]),
+        jnp.concatenate(all_phi),
+        jnp.concatenate(all_n, axis=0),
+        jnp.concatenate(all_pc, axis=0),
+        jnp.concatenate(all_f, axis=0),
     )
     return ((torques, forces), info) if return_info else (torques, forces)

@@ -211,33 +211,34 @@ def _box_vs_box(params_a, R_a, p_a, params_b, R_b, p_b):
         )
         return signs * half  # (8, 3)
 
-    best = None
-    # Corners of A against box B.
+    def corners_vs_box(c_world, R_box, p_box, half, flip):
+        """Vmapped: each world corner against a box; returns per-corner
+        (phi, nhat_AB, witness_corner_side, witness_box_side)."""
+
+        def one(c):
+            c_local = R_box.T @ (c - p_box)
+            phi, n_local, closest_local = _point_box_distance(c_local, half)
+            n_w = R_box @ n_local
+            wbox = R_box @ closest_local + p_box
+            return phi, jnp.where(flip, -n_w, n_w), c, wbox
+
+        return jax.vmap(one)(c_world)
+
     ca_world = jnp.einsum("ij,nj->ni", R_a, corners(params_a[:3])) + p_a
-    for i in range(8):
-        c = ca_world[i]
-        c_local = R_b.T @ (c - p_b)
-        phi, n_local, closest_local = _point_box_distance(c_local, params_b[:3])
-        n_w = -(R_b @ n_local)  # A -> B direction
-        wb = R_b @ closest_local + p_b
-        cand = (phi, n_w, c, wb)
-        if best is None:
-            best = cand
-        else:
-            pick = phi < best[0]
-            best = tuple(jnp.where(pick, a, b) for a, b in zip(cand, best))
-    # Corners of B against box A.
+    phi_a, n_a, wc_a, wbox_a = corners_vs_box(
+        ca_world, R_b, p_b, params_b[:3], True
+    )
+    i_a = jnp.argmin(phi_a)
+    best = (phi_a[i_a], n_a[i_a], wc_a[i_a], wbox_a[i_a])
+
     cb_world = jnp.einsum("ij,nj->ni", R_b, corners(params_b[:3])) + p_b
-    for i in range(8):
-        c = cb_world[i]
-        c_local = R_a.T @ (c - p_a)
-        phi, n_local, closest_local = _point_box_distance(c_local, params_a[:3])
-        n_w = R_a @ n_local  # outward from A = toward B
-        wa = R_a @ closest_local + p_a
-        cand = (phi, n_w, wa, c)
-        pick = phi < best[0]
-        best = tuple(jnp.where(pick, a, b) for a, b in zip(cand, best))
-    return best
+    phi_b, n_b, wc_b, wbox_b = corners_vs_box(
+        cb_world, R_a, p_a, params_a[:3], False
+    )
+    i_b = jnp.argmin(phi_b)
+    cand = (phi_b[i_b], n_b[i_b], wbox_b[i_b], wc_b[i_b])
+    pick = cand[0] < best[0]
+    return tuple(jnp.where(pick, c, b) for c, b in zip(cand, best))
 
 
 def _capsule_vs_shape(params_cap, R_c, p_c, shape_type, params_s, R_s, p_s):

@@ -29,6 +29,68 @@ def _wquad(J1, w, J2):
     return jnp.einsum("nji,j,njk->nik", J1, w, J2)
 
 
+def _wvec(J, w, r):
+    """J^T diag(w) r, batched over the leading axis."""
+    return jnp.einsum("nji,j,nj->ni", J, w, r)
+
+
+def gradient_from_partials(
+    model: Model,
+    prob: ProblemDefinition,
+    partials: IdPartials,
+    nplus,  # (T+1, nv, nq)
+    q,  # (T+1, nq)
+    v,  # (T+1, nv)
+    tau,  # (T, nv)
+):
+    """dL/dq assembled from the inverse-dynamics partials, mirroring the
+    reference's CalcGradient (trajectory_optimizer.cc:1021-1081) term by
+    term -- including its Gauss-Newton treatment of the velocity map
+    (dv/dq = +-N^+/dt, dropping dN^+/dq for quaternion DoFs).  Sharing the
+    partials with the Hessian makes the gradient nearly free.
+
+    The first block is zero (q_0 fixed, reference :1042-1044).
+    """
+    T = prob.num_steps
+    dt = prob.dt
+    Qq = 2 * dt * prob.Qq
+    Qv = 2 * dt * prob.Qv
+    R = 2 * dt * prob.R
+    Qf_q = 2 * prob.Qf_q
+    Qf_v = 2 * prob.Qf_v
+
+    dv_dqt = nplus / dt
+    dm, dtt, dp = partials
+
+    dq_err = q - prob.q_nom
+    dv_err = v - prob.v_nom
+
+    # Interior rows t = 1..T-1.
+    g_mid = (
+        Qq * dq_err[1:T]
+        + _wvec(dv_dqt[1:T], Qv, dv_err[1:T])
+        + _wvec(dp[0 : T - 1], R, tau[0 : T - 1])
+        + _wvec(dtt[1:T], R, tau[1:T])
+    )
+    # dv_{t+1}/dq_t = -N^+(q_{t+1})/dt contributions for t = 1..T-2 (Qv)
+    # and t = T-1 (terminal Qf_v); tau_{t+1} term for t < T-1.
+    extra = _wvec(-dv_dqt[2:T], Qv, dv_err[2:T]) + _wvec(
+        dm[2:T], R, tau[2:T]
+    )
+    g_mid = g_mid.at[: T - 2].add(extra)
+    g_mid = g_mid.at[T - 2].add(
+        _wvec(-dv_dqt[T : T + 1], Qf_v, dv_err[T : T + 1])[0]
+    )
+
+    g_last = (
+        Qf_q * dq_err[T]
+        + _wvec(dv_dqt[T : T + 1], Qf_v, dv_err[T : T + 1])[0]
+        + _wvec(dp[T - 1 : T], R, tau[T - 1 : T])[0]
+    )
+    zero = jnp.zeros_like(q[:1])
+    return jnp.concatenate([zero, g_mid, g_last[None]], axis=0)
+
+
 def gauss_newton_hessian(
     model: Model,
     prob: ProblemDefinition,

@@ -25,7 +25,10 @@ from idto_tpu.models.kinematics import normalize_quaternions
 from idto_tpu.models.model import Model
 from idto_tpu.ops import penta
 from idto_tpu.optimizer import trajectory
-from idto_tpu.optimizer.hessian import gauss_newton_hessian
+from idto_tpu.optimizer.hessian import (
+    gauss_newton_hessian,
+    gradient_from_partials,
+)
 from idto_tpu.optimizer.partials import id_partials, nplus_stack
 from idto_tpu.optimizer.problem import (
     ProblemDefinition,
@@ -151,13 +154,23 @@ def _scale_factors(H: penta.PentaBands, method: ScalingMethod):
 
 
 def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
-    """Compute every iterate-dependent quantity the trust-region step needs."""
+    """Compute every iterate-dependent quantity the trust-region step needs.
+
+    v/tau are computed once and shared by the cost, the constraint
+    violations, and the gradient; the gradient is assembled from the same
+    dtau/dq partials as the Hessian (reference CalcGradient/CalcHessian
+    share EvalInverseDynamicsPartials the same way)."""
     contact = params.contact
-    cost = trajectory.cost(model, prob, contact, q)
-    g = trajectory.gradient(model, prob, contact, q)
+    v = trajectory.velocities(model, prob, q)
+    a = trajectory.accelerations(prob, v)
+    tau = jax.vmap(
+        lambda qn, vn, an: trajectory.step_tau(model, contact, qn, vn, an)
+    )(q[1:], v[1:], a)
+    cost = trajectory.cost(model, prob, contact, q, tau=tau, v=v)
 
     parts = id_partials(model, prob, contact, q)
     nplus = nplus_stack(model, q)
+    g = gradient_from_partials(model, prob, parts, nplus, q, v, tau)
     H = gauss_newton_hessian(model, prob, parts, nplus)
 
     if params.scaling:
@@ -174,7 +187,6 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
     unact = _unactuated(model)
     n_h = prob.num_steps * len(unact)
     if params.equality_constraints and n_h > 0:
-        tau = trajectory.generalized_forces(model, prob, contact, q)
         h = tau[:, jnp.array(unact, dtype=jnp.int32)].reshape(-1)
         J = _constraint_jacobian_dense(model, prob, parts, unact, q.dtype)
         Js = J * D[None, :, :]  # J~ = J D
@@ -254,16 +266,20 @@ def _dogleg(prep: _Prepared, Delta):
 
 
 def _merit_at(model, prob, params, q_try, lam):
-    """Merit phi = L(q) + h(q)^T lam_k with frozen multipliers
+    """(merit, cost) at q_try with frozen multipliers: phi = L + h^T lam_k
     (reference: CalcTrustRatio, trajectory_optimizer.cc:1988-2006)."""
     contact = params.contact
     unact = _unactuated(model)
-    cost = trajectory.cost(model, prob, contact, q_try)
+    v = trajectory.velocities(model, prob, q_try)
+    a = trajectory.accelerations(prob, v)
+    tau = jax.vmap(
+        lambda qn, vn, an: trajectory.step_tau(model, contact, qn, vn, an)
+    )(q_try[1:], v[1:], a)
+    cost = trajectory.cost(model, prob, contact, q_try, tau=tau, v=v)
     if params.equality_constraints and len(unact) > 0 and lam.shape[0] > 0:
-        tau = trajectory.generalized_forces(model, prob, contact, q_try)
         h = tau[:, jnp.array(unact, dtype=jnp.int32)].reshape(-1)
-        return cost + h @ lam
-    return cost
+        return cost + h @ lam, cost
+    return cost, cost
 
 
 def _add_to_q(model, params, q, dq):
@@ -277,7 +293,6 @@ class _LoopState(NamedTuple):
     k: Any
     q: Any
     Delta: Any
-    prep: _Prepared
     prev_cost: Any
     reason: Any
     done: Any
@@ -315,18 +330,21 @@ def solve_trust_region(
     eps_guard = 10 * jnp.finfo(dtype).eps / prob.dt / prob.dt
 
     q0 = q_guess
-    prep0 = _prepare(model, prob, params, q0)
 
     def cond(s: _LoopState):
         return jnp.logical_and(s.k < params.max_iterations, ~s.done)
 
     def body(s: _LoopState):
-        prep = s.prep
+        # Derivatives are recomputed at the top of every iteration (a
+        # rejected step recomputes unchanged quantities -- a small runtime
+        # cost that keeps exactly ONE trace of the expensive derivative
+        # graph in the compiled loop, unlike a lazy-cache formulation).
+        prep = _prepare(model, prob, params, s.q)
         dq_scaled, dq, boundary_active = _dogleg(prep, s.Delta)
 
         # ---- trust ratio (reference: CalcTrustRatio) ----
         q_try = _add_to_q(model, params, s.q, dq)
-        merit_try = _merit_at(model, prob, params, q_try, prep.lam)
+        merit_try, cost_try = _merit_at(model, prob, params, q_try, prep.lam)
         Hdq = penta.matvec(prep.H, dq_scaled)
         predicted = -jnp.sum(prep.g_merit * dq_scaled) - 0.5 * jnp.sum(
             dq_scaled * Hdq
@@ -366,7 +384,7 @@ def solve_trust_region(
         reason = jnp.zeros((), jnp.int32)
         if params.check_convergence:
             tol = params.tolerances
-            cost_new = jnp.where(accept, merit_try, prep.cost)
+            cost_new = jnp.where(accept, cost_try, prep.cost)
             crit_cost = jnp.abs(s.prev_cost - cost_new) < (
                 tol.abs_cost_reduction + tol.rel_cost_reduction * cost_new
             )
@@ -397,20 +415,11 @@ def solve_trust_region(
         )
         Delta_new = jnp.where(done, s.Delta, Delta_new)
 
-        # ---- recompute derivatives only when the iterate moved ----
-        prep_new = jax.lax.cond(
-            jnp.logical_and(accept, ~done),
-            lambda qq: _prepare(model, prob, params, qq),
-            lambda qq: prep,
-            q_new,
-        )
-
-        prev_cost = jnp.where(accept, merit_try, s.prev_cost)
+        prev_cost = jnp.where(accept, cost_try, prep.cost)
         return _LoopState(
             k=s.k + 1,
             q=q_new,
             Delta=Delta_new,
-            prep=prep_new,
             prev_cost=prev_cost,
             reason=reason,
             done=done,
@@ -421,8 +430,10 @@ def solve_trust_region(
         k=jnp.zeros((), jnp.int32),
         q=q0,
         Delta=Delta,
-        prep=prep0,
-        prev_cost=prep0.cost,
+        # NaN sentinel: the cost-reduction criterion cannot fire on the
+        # first iteration (the reference uses the initial cost instead;
+        # avoiding that saves a full cost trace before the loop).
+        prev_cost=jnp.asarray(jnp.nan, dtype=dtype),
         reason=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         stats=_empty_stats(params.max_iterations, dtype),

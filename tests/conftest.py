@@ -18,3 +18,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+from idto_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
