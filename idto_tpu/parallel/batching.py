@@ -63,7 +63,7 @@ def solve_batch_sharded(
     solution plus a replicated scalar summary (mean final cost across all
     scenarios, reduced with psum over ICI).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
 
@@ -83,6 +83,6 @@ def solve_batch_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return sharded(probs, q_guesses)

@@ -1,0 +1,114 @@
+"""MPC layer tests: spline store, warm-start shifting, closed-loop sim."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idto_tpu.mpc.trajectory_store import CubicSpline, StoredTrajectory
+from idto_tpu.mpc.controller import (
+    MpcCarry,
+    make_mpc_params,
+    mpc_initialize,
+    mpc_step,
+)
+from idto_tpu.mpc.simulator import sim_step, simulate_segment
+from idto_tpu.optimizer.solver import Solution
+from idto_tpu.examples.registry import load_example
+
+from tests.test_optimizer import pendulum_problem
+from idto_tpu.optimizer.problem import SolverParameters, linear_interp_nominal
+
+
+class TestCubicSpline:
+    def test_interpolates_knots(self):
+        rng = np.random.default_rng(0)
+        y = rng.standard_normal((7, 3))
+        sp = CubicSpline.fit(jnp.asarray(y), 0.1)
+        for i in range(7):
+            np.testing.assert_allclose(
+                np.asarray(sp.value(0.1 * i)), y[i], atol=1e-9
+            )
+
+    def test_reproduces_linear(self):
+        t = np.arange(6)[:, None] * 0.5
+        y = 2.0 * t + 1.0
+        sp = CubicSpline.fit(jnp.asarray(y), 0.5)
+        for tq in [0.1, 0.77, 1.3, 2.2]:
+            np.testing.assert_allclose(
+                float(sp.value(tq)[0]), 2.0 * tq + 1.0, atol=1e-9
+            )
+
+    def test_extrapolates_with_boundary_segment(self):
+        y = np.array([[0.0], [1.0], [0.0]])
+        sp = CubicSpline.fit(jnp.asarray(y), 1.0)
+        # Just beyond the last knot, continues the last cubic segment
+        # (like PiecewisePolynomial::value).
+        v = float(sp.value(2.5)[0])
+        assert np.isfinite(v)
+
+
+class TestSimulator:
+    def test_pendulum_free_swing(self):
+        """Undriven pendulum from horizontal loses amplitude slowly with
+        damping; energy must not increase."""
+        model, prob = pendulum_problem()
+        from idto_tpu.contact.force import ContactParams
+
+        q, v = jnp.array([1.5]), jnp.array([0.0])
+        c = ContactParams()
+        h = 1e-3
+        for _ in range(100):
+            q, v = sim_step(model, c, h, q, v, jnp.zeros(1))
+        assert np.isfinite(float(q[0])) and abs(float(q[0])) < 1.6
+
+
+class TestClosedLoopMpc:
+    def test_pendulum_mpc_runs(self):
+        model, prob = pendulum_problem(T=10)
+        params = SolverParameters(
+            max_iterations=10, scaling=True, equality_constraints=False,
+        )
+        q_guess = jnp.asarray(linear_interp_nominal([0.1], [0.1], 10))
+        carry, sol0 = mpc_initialize(model, prob, params, q_guess)
+
+        mpc_params = make_mpc_params(params, mpc_iters=1)
+        rel = jnp.zeros(1)
+        step = jax.jit(
+            lambda c, x0, t: mpc_step(
+                model, prob, mpc_params, rel, c, x0, t
+            )
+        )
+
+        from idto_tpu.contact.force import ContactParams
+
+        q, v = prob.q_init, prob.v_init
+        replan = 0.1
+        h = 5e-3
+        substeps = int(replan / h)
+        for k in range(5):
+            t = k * replan
+            x0 = jnp.concatenate([q, v])
+            carry, sol = step(carry, x0, jnp.asarray(t, q.dtype))
+            q, v, _ = simulate_segment(
+                model, ContactParams(), h, substeps, carry.stored,
+                jnp.zeros(1), jnp.zeros(1), q, v, jnp.asarray(t, q.dtype),
+            )
+        assert np.isfinite(float(q[0]))
+        # The MPC should be driving the pendulum up from rest.
+        assert abs(float(q[0]) - 0.1) > 1e-3
+
+
+class TestWarmStartShift:
+    def test_guess_resampled_from_previous_solution(self):
+        model, prob = pendulum_problem(T=10)
+        params = SolverParameters(
+            max_iterations=15, equality_constraints=False
+        )
+        q_guess = jnp.asarray(linear_interp_nominal([0.1], [0.1], 10))
+        carry, sol = mpc_initialize(model, prob, params, q_guess)
+        # Sampling the stored trajectory at knot times reproduces the
+        # solution.
+        times = jnp.arange(11) * prob.dt
+        qs = jax.vmap(lambda t: carry.stored.sample_state(t)[0])(times)
+        np.testing.assert_allclose(
+            np.asarray(qs), np.asarray(sol.q), atol=1e-8
+        )
