@@ -42,17 +42,20 @@ def main():
     probs = probs.replace(q_init=probs.q_init + dq)
     q_guesses = jnp.broadcast_to(q_guess, (batch,) + q_guess.shape) + dq[:, None, :]
 
-    step = jax.jit(lambda p, qg: solve_batch(model, p, params, qg)[0].q)
+    # N.B. model/probs/params are jit ARGUMENTS, not captured constants:
+    # the TPU backend compiles captured device arrays pathologically slowly
+    # and re-stages them per call.
+    step = jax.jit(lambda m, p, prm, qg: solve_batch(m, p, prm, qg)[0].q)
 
     # Compile + warm up.
-    out = jax.block_until_ready(step(probs, q_guesses))
+    out = jax.block_until_ready(step(model, probs, params, q_guesses))
 
     # Timed steady-state iterations (warm-started on the previous solution,
     # like the MPC loop).
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(probs, out)
+        out = step(model, probs, params, out)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
 

@@ -48,7 +48,13 @@ class TrajectoryOptimizer:
         self.model = model
         self._prob = prob
         self._params = params or SolverParameters()
-        self._solve_jit = jax.jit(self._solve_impl)
+        # model/prob/params flow through as jit arguments (captured device
+        # constants are pathological on the TPU backend).
+        self._solve_jit = jax.jit(
+            lambda m, p, prm, qg, d0: _solver.solve_trust_region(
+                m, p, prm, qg, Delta0=d0
+            )
+        )
 
     # -- reference-parity accessors --
     @property
@@ -66,25 +72,19 @@ class TrajectoryOptimizer:
         return self._prob.num_steps
 
     # -- solving --
-    def _solve_impl(self, prob, q_guess, Delta0):
-        return _solver.solve_trust_region(
-            self.model, prob, self._params, q_guess, Delta0=Delta0
-        )
-
     def Solve(self, q_guess):
         """Solve from scratch; q_guess is (T+1, nq) (or a list of rows)."""
         q_guess = jnp.asarray(np.asarray(q_guess))
         if self._params.method.value == "linesearch":
             from idto_tpu.optimizer.linesearch import solve_linesearch
 
-            sol, stats, _ = jax.jit(
-                lambda qg: solve_linesearch(
-                    self.model, self._prob, self._params, qg
-                )
-            )(q_guess)
+            sol, stats, _ = jax.jit(solve_linesearch)(
+                self.model, self._prob, self._params, q_guess
+            )
             return sol, stats
         sol, stats, _ = self._solve_jit(
-            self._prob, q_guess, jnp.asarray(self._params.Delta0)
+            self.model, self._prob, self._params, q_guess,
+            jnp.asarray(self._params.Delta0),
         )
         return sol, stats
 
@@ -93,7 +93,8 @@ class TrajectoryOptimizer:
 
     def SolveFromWarmStart(self, warm_start: WarmStart):
         sol, stats, ws = self._solve_jit(
-            self._prob, warm_start.q, jnp.asarray(warm_start.Delta)
+            self.model, self._prob, self._params, warm_start.q,
+            jnp.asarray(warm_start.Delta),
         )
         warm_start.q = ws.q
         warm_start.Delta = float(ws.Delta)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from idto_tpu.geometry.distance import signed_distance
+from idto_tpu.models import mat3
 from idto_tpu.models.kinematics import body_velocities
 from idto_tpu.models.model import Model
 from idto_tpu.utils.structs import pytree_dataclass, static
@@ -89,8 +90,8 @@ def contact_wrenches(
         is_world[:, :, None], jnp.eye(3, dtype=dtype)[None], R_l[body_idx]
     )
     pg_b = jnp.where(is_world, 0.0, p_l[body_idx])
-    Rg = jnp.einsum("nij,njk->nik", Rg_b, geoms.R.astype(dtype))
-    pg = pg_b + jnp.einsum("nij,nj->ni", Rg_b, geoms.p.astype(dtype))
+    Rg = mat3.mul(Rg_b, geoms.R.astype(dtype))
+    pg = pg_b + mat3.mv(Rg_b, geoms.p.astype(dtype))
     # Body point-velocities of geometry-owning links (world rows zeroed).
     w_g = jnp.where(is_world, 0.0, w_l[body_idx])
     pd_g = jnp.where(is_world, 0.0, pd_l[body_idx])

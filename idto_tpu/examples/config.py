@@ -150,8 +150,19 @@ def build_problem(cfg: ExampleConfig, model: Model) -> ProblemDefinition:
         # Quaternion DoFs: v_nom = v_init everywhere (reference behavior).
         v_nom = np.tile(v_init, (cfg.num_steps + 1, 1))
 
-    q_nom_j = normalize_quaternions(model, jnp.asarray(q_nom))
-    q_init_j = normalize_quaternions(model, jnp.asarray(q_init)[None, :])[0]
+    # Normalize quaternions in numpy (build time must not dispatch eager
+    # device ops; see models/rotations.rpy_to_rot_np).
+    from idto_tpu.models.model import JointType
+
+    for j in range(model.num_joints):
+        if JointType(model.joint_types[j]) == JointType.FLOATING:
+            qs = model.q_starts[j]
+            q_nom[:, qs : qs + 4] /= np.linalg.norm(
+                q_nom[:, qs : qs + 4], axis=-1, keepdims=True
+            )
+            q_init[qs : qs + 4] /= np.linalg.norm(q_init[qs : qs + 4])
+    q_nom_j = jnp.asarray(q_nom)
+    q_init_j = jnp.asarray(q_init)
 
     return ProblemDefinition(
         num_steps=cfg.num_steps,

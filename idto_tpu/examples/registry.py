@@ -58,11 +58,11 @@ def _mini_cheetah(hills: int = 0, hill_height: float = 0.05,
     )
     _add_ground_box(b, z_top=0.0)
     # Optional cylindrical "hills" (mini_cheetah.cc:57-68).
-    from idto_tpu.models.rotations import rpy_to_rot
+    from idto_tpu.models.rotations import rpy_to_rot_np
 
     for i in range(hills):
         px = 2.0 + hill_spacing * i
-        R = np.asarray(rpy_to_rot(np.array([np.pi / 2, 0.0, 0.0])))
+        R = rpy_to_rot_np([np.pi / 2, 0.0, 0.0])
         b.add_geometry(
             "world", GeomType.CYLINDER, [1.0, 12.5],
             R=R, p=(px, 0.0, -1.0 + hill_height), name=f"hill_{i}",

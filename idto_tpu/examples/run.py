@@ -58,12 +58,16 @@ def main(argv=None):
     from idto_tpu.optimizer.solver import solve
 
     t0 = time.time()
-    solve_jit = jax.jit(lambda qg: solve(model, prob, params, qg))
-    sol, stats, warm = jax.block_until_ready(solve_jit(q_guess))
+    solve_jit = jax.jit(solve)
+    sol, stats, warm = jax.block_until_ready(
+        solve_jit(model, prob, params, q_guess)
+    )
     t_compile = time.time() - t0
 
     t0 = time.time()
-    sol, stats, warm = jax.block_until_ready(solve_jit(q_guess))
+    sol, stats, warm = jax.block_until_ready(
+        solve_jit(model, prob, params, q_guess)
+    )
     t_solve = time.time() - t0
 
     iters = int(stats.num_iters)

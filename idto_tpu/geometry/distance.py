@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from idto_tpu.models import mat3
 from idto_tpu.models.model import GeomType
 
 _EPS = 1e-12
@@ -45,15 +46,18 @@ def _point_box_distance(p, half):
 
     # Closest point on (or inside-projected to) the surface.
     clamped = jnp.clip(p, -half, half)
-    # Inside: push to the nearest face.
+    # Inside: push to the nearest face (one-hot select; dynamic-index
+    # scatters are pathological on TPU).
     face = jnp.argmax(q)  # nearest face axis when inside
-    sign = jnp.sign(jnp.where(p[face] == 0, 1.0, p[face]))
-    inside_pt = clamped.at[face].set(sign * half[face])
+    onehot = (jnp.arange(3) == face).astype(p.dtype)
+    pf = jnp.sum(onehot * p)
+    sign = jnp.sign(jnp.where(pf == 0, 1.0, pf))
+    inside_pt = clamped * (1 - onehot) + onehot * sign * half
     closest = jnp.where(jnp.max(q) > 0.0, clamped, inside_pt)
 
     # Outward normal: gradient direction outside, face normal inside.
     n_out = (p - clamped) / dist_out
-    n_in = jnp.zeros(3).at[face].set(sign)
+    n_in = onehot * sign
     normal = jnp.where(jnp.max(q) > 0.0, n_out, n_in)
     return phi, normal, closest
 
@@ -119,7 +123,7 @@ def sphere_vs_point_shape(
     Everything in world frame; (R_b, p_b) is the shape pose.
     """
     # Sphere center in shape frame.
-    c_local = R_b.T @ (center_a - p_b)
+    c_local = mat3.tmv(R_b, center_a - p_b)
     if shape_type == GeomType.BOX:
         phi_pt, n_local, closest_local = _point_box_distance(
             c_local, params_b[:3]
@@ -147,8 +151,8 @@ def sphere_vs_point_shape(
 
     phi = phi_pt - radius_a
     # n_local points from shape B toward the sphere A; flip for A->B.
-    n_world = -(R_b @ n_local)
-    p_b_witness = R_b @ closest_local + p_b
+    n_world = -mat3.mv(R_b, n_local)
+    p_b_witness = mat3.mv(R_b, closest_local) + p_b
     p_a_witness = center_a + n_world * radius_a
     return phi, n_world, p_a_witness, p_b_witness
 
@@ -216,22 +220,22 @@ def _box_vs_box(params_a, R_a, p_a, params_b, R_b, p_b):
         (phi, nhat_AB, witness_corner_side, witness_box_side)."""
 
         def one(c):
-            c_local = R_box.T @ (c - p_box)
+            c_local = mat3.tmv(R_box, c - p_box)
             phi, n_local, closest_local = _point_box_distance(c_local, half)
-            n_w = R_box @ n_local
-            wbox = R_box @ closest_local + p_box
+            n_w = mat3.mv(R_box, n_local)
+            wbox = mat3.mv(R_box, closest_local) + p_box
             return phi, jnp.where(flip, -n_w, n_w), c, wbox
 
         return jax.vmap(one)(c_world)
 
-    ca_world = jnp.einsum("ij,nj->ni", R_a, corners(params_a[:3])) + p_a
+    ca_world = mat3.mv(R_a, corners(params_a[:3])) + p_a
     phi_a, n_a, wc_a, wbox_a = corners_vs_box(
         ca_world, R_b, p_b, params_b[:3], True
     )
     i_a = jnp.argmin(phi_a)
     best = (phi_a[i_a], n_a[i_a], wc_a[i_a], wbox_a[i_a])
 
-    cb_world = jnp.einsum("ij,nj->ni", R_b, corners(params_b[:3])) + p_b
+    cb_world = mat3.mv(R_b, corners(params_b[:3])) + p_b
     phi_b, n_b, wc_b, wbox_b = corners_vs_box(
         cb_world, R_a, p_a, params_a[:3], False
     )

@@ -30,6 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from idto_tpu.models import mat3
 from idto_tpu.models.kinematics import body_velocities, v_to_qdot
 from idto_tpu.models.model import Model
 
@@ -55,7 +56,7 @@ def _inertial_minus_applied_wrenches(model: Model, q, v, a, external_wrenches):
     R, p, w, pd, wd, pdd = body_accelerations(model, q, v, a)
 
     # Center-of-mass offset in world, and com acceleration.
-    r = jnp.einsum("nij,nj->ni", R, model.com)  # (nl, 3)
+    r = mat3.mv(R, model.com)  # (nl, 3)
     a_com = (
         pdd
         + jnp.cross(wd, r)
@@ -67,10 +68,8 @@ def _inertial_minus_applied_wrenches(model: Model, q, v, a, external_wrenches):
     F_grav = m * model.gravity[None, :]
 
     # Rotational inertia about com in world: I_W = R I_B R^T.
-    I_w = jnp.einsum("nij,njk,nlk->nil", R, model.inertia, R)
-    torque_com = jnp.einsum("nij,nj->ni", I_w, wd) + jnp.cross(
-        w, jnp.einsum("nij,nj->ni", I_w, w)
-    )
+    I_w = mat3.mul_t(mat3.mul(R, model.inertia), R)
+    torque_com = mat3.mv(I_w, wd) + jnp.cross(w, mat3.mv(I_w, w))
 
     # Shift to body origin: wrench about origin from force at com.
     torque = torque_com + jnp.cross(r, F - F_grav)

@@ -110,6 +110,12 @@ class Model:
     joint_names: tuple = static(default=())
     link_names: tuple = static(default=())
     actuator_joints: tuple = static(default=())  # joint index per actuator
+    # Level schedule: levels[d] = tuple of joint indices at tree depth d.
+    # Joints within a level are independent, so FK processes each level as
+    # ONE batched gather+compose -- the op count is O(depth), not O(joints).
+    levels: tuple = static(default=())
+    # Joint indices grouped by type, for batched joint-transform evaluation.
+    type_groups: tuple = static(default=())  # ((type, (j, ...)), ...)
 
     # ---- numeric parameters (pytree leaves) ----
     R_pj: Any = None  # (nj, 3, 3) joint frame rotation in parent link frame
@@ -140,9 +146,12 @@ class Model:
     @property
     def unactuated_vdofs(self) -> tuple:
         """v-dof indices with no actuator (reference: unactuated_dofs_,
-        trajectory_optimizer.cc:63-72); drives the equality constraints."""
-        B = np.asarray(self.B)
-        return tuple(int(i) for i in range(self.nv) if not B[i].any())
+        trajectory_optimizer.cc:63-72); drives the equality constraints.
+        Derived from static metadata only (B may be a traced array)."""
+        actuated = {
+            self.v_starts[j] for j in self.actuator_joints
+        }
+        return tuple(i for i in range(self.nv) if i not in actuated)
 
 
 class ModelBuilder:
@@ -281,7 +290,25 @@ class ModelBuilder:
 
         geoms = self._finalize_geoms(dtype)
 
+        # Level schedule (depth-based): parents always have smaller depth.
+        depth = [0] * nj
+        for j, p in enumerate(self._joint_parents):
+            depth[j] = 0 if p < 0 else depth[p] + 1
+        levels = []
+        for d in range(max(depth, default=-1) + 1):
+            levels.append(tuple(j for j in range(nj) if depth[j] == d))
+
+        # Type groups.
+        groups: dict = {}
+        for j, jt in enumerate(self._joint_types):
+            groups.setdefault(int(jt), []).append(j)
+        type_groups = tuple(
+            (t, tuple(js)) for t, js in sorted(groups.items())
+        )
+
         return Model(
+            levels=tuple(levels),
+            type_groups=type_groups,
             joint_types=tuple(int(t) for t in self._joint_types),
             joint_parents=tuple(self._joint_parents),
             q_starts=tuple(q_starts),

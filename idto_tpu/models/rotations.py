@@ -194,6 +194,24 @@ def normalize_quat(q):
     return q / jnp.linalg.norm(q)
 
 
+def rpy_to_rot_np(rpy):
+    """Numpy rpy->R for model-build time (URDF parsing must not dispatch
+    eager device ops -- each one is a host<->device round trip)."""
+    import numpy as np
+
+    r, p, y = float(rpy[0]), float(rpy[1]), float(rpy[2])
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    return np.array(
+        [
+            [cy * cp, cy * sp * sr - sy * cr, cy * sp * cr + sy * sr],
+            [sy * cp, sy * sp * sr + cy * cr, sy * sp * cr - cy * sr],
+            [-sp, cp * sr, cp * cr],
+        ]
+    )
+
+
 def make_frame_from_z(u):
     """Deterministic orthonormal frame [v, w, u] with given unit z-axis u.
 

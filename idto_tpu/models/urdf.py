@@ -42,14 +42,13 @@ def _floats(s: str) -> np.ndarray:
 
 def _origin(elem: Optional[ET.Element]) -> tuple[np.ndarray, np.ndarray]:
     """Returns (R, p) from an <origin xyz rpy> element (identity if None)."""
-    from idto_tpu.models.rotations import rpy_to_rot
+    from idto_tpu.models.rotations import rpy_to_rot_np
 
     if elem is None:
         return np.eye(3), np.zeros(3)
     xyz = _floats(elem.get("xyz", "0 0 0"))
     rpy = _floats(elem.get("rpy", "0 0 0"))
-    R = np.asarray(rpy_to_rot(rpy), dtype=np.float64)
-    return R, xyz
+    return rpy_to_rot_np(rpy), xyz
 
 
 def _parse_inertial(link: ET.Element):

@@ -59,28 +59,18 @@ def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
 
     mpc_params = make_mpc_params(params, cfg.mpc_iters)
 
-    # Initial full solve (seeds the warm start).
-    carry, _ = jax.jit(
-        lambda qg: mpc_initialize(model, prob, params, qg)
-    )(q_guess)
+    # Initial full solve (seeds the warm start).  model/prob/gains flow
+    # through as jit arguments (captured device constants are pathological
+    # on the TPU backend).
+    carry, _ = jax.jit(mpc_initialize)(model, prob, params, q_guess)
 
+    rel_j = jnp.asarray(rel)
     step_fn = jax.jit(
-        lambda c, x0, t: mpc_step(
-            model, prob, mpc_params, jnp.asarray(rel), c, x0, t
-        )
+        lambda m, p, r, c, x0, t: mpc_step(m, p, mpc_params, r, c, x0, t)
     )
     sim_fn = jax.jit(
-        lambda stored, q0, v0, t: simulate_segment(
-            model,
-            params.contact,
-            h,
-            substeps,
-            stored,
-            Kp,
-            Kd,
-            q0,
-            v0,
-            t,
+        lambda m, stored, kp, kd, q0, v0, t: simulate_segment(
+            m, params.contact, h, substeps, stored, kp, kd, q0, v0, t,
             cfg.feed_forward,
         )
     )
@@ -95,12 +85,14 @@ def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
         x0 = jnp.concatenate([q, v])
 
         t0 = time.perf_counter()
-        new_carry, sol = jax.block_until_ready(step_fn(carry, x0, t_now))
+        new_carry, sol = jax.block_until_ready(
+            step_fn(model, prob, rel_j, carry, x0, jnp.asarray(t_now))
+        )
         solve_times.append(time.perf_counter() - t0)
 
         # Simulate under the PREVIOUS stored trajectory (one-period delay).
         q, v, log = jax.block_until_ready(
-            sim_fn(carry.stored, q, v, jnp.asarray(t_now))
+            sim_fn(model, carry.stored, Kp, Kd, q, v, jnp.asarray(t_now))
         )
         carry = new_carry
 

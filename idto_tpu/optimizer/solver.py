@@ -426,17 +426,27 @@ def solve_trust_region(
             stats=st,
         )
 
+    # Seed every carry element (except the shared iteration counter) with a
+    # dependence on q0.  Under vmap, jax batches while_loop by a fixed-point
+    # over which carry elements are batched, RE-TRACING the (expensive) body
+    # once per round; starting fully batched collapses that to one round.
+    zb = jnp.sum(q0) * 0.0
+    zb_i = zb.astype(jnp.int32)
+    stats0 = _empty_stats(params.max_iterations, dtype)
+    stats0 = jax.tree.map(lambda x: x + x.dtype.type(0) * zb.astype(x.dtype)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x + zb_i.astype(x.dtype),
+                          stats0)
     init = _LoopState(
         k=jnp.zeros((), jnp.int32),
         q=q0,
-        Delta=Delta,
+        Delta=Delta + zb,
         # NaN sentinel: the cost-reduction criterion cannot fire on the
         # first iteration (the reference uses the initial cost instead;
         # avoiding that saves a full cost trace before the loop).
-        prev_cost=jnp.asarray(jnp.nan, dtype=dtype),
-        reason=jnp.zeros((), jnp.int32),
-        done=jnp.zeros((), bool),
-        stats=_empty_stats(params.max_iterations, dtype),
+        prev_cost=jnp.asarray(jnp.nan, dtype=dtype) + zb,
+        reason=jnp.zeros((), jnp.int32) + zb_i,
+        done=jnp.zeros((), bool) ^ (zb_i > 0),
+        stats=stats0,
     )
     final = jax.lax.while_loop(cond, body, init)
 
