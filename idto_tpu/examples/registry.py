@@ -98,6 +98,135 @@ def _airhockey() -> ModelBuilder:
     return b
 
 
+def _solid_sphere_inertia(mass: float, radius: float) -> np.ndarray:
+    return np.eye(3) * (0.4 * mass * radius**2)
+
+
+def _solid_box_inertia(mass: float, half) -> np.ndarray:
+    hx, hy, hz = half
+    return np.diag([
+        mass / 3.0 * (hy**2 + hz**2),
+        mass / 3.0 * (hx**2 + hz**2),
+        mass / 3.0 * (hx**2 + hy**2),
+    ])
+
+
+def _add_free_sphere(b: ModelBuilder, name: str, radius: float, mass: float):
+    """Free-floating ball manipuland (the pattern of jaco_ball.cc:56-67,
+    allegro_hand.cc:95-108, punyo.cc:54-66)."""
+    b.add_link(
+        name, "world", JointType.FLOATING, joint_name=f"{name}_joint",
+        mass=mass, inertia=_solid_sphere_inertia(mass, radius),
+    )
+    b.add_geometry(name, GeomType.SPHERE, [radius], name=f"{name}_collision")
+
+
+def _add_free_box(b: ModelBuilder, name: str, half, mass: float):
+    """Free-floating box manipuland (box_intel_nuc.sdf / box_15cm.sdf)."""
+    b.add_link(
+        name, "world", JointType.FLOATING, joint_name=f"{name}_joint",
+        mass=mass, inertia=_solid_box_inertia(mass, half),
+    )
+    b.add_geometry(name, GeomType.BOX, list(half), name=f"{name}_collision")
+
+
+def _kuka() -> ModelBuilder:
+    """Kuka iiwa pushes a box across the ground (examples/kuka/kuka.cc:
+    49-76: sphere-collision iiwa, gravity disabled on the arm,
+    box_intel_nuc manipuland, 25x25x10 ground box)."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/kuka_iiwa.urdf"),
+        gravity_enabled=False,
+    )
+    _add_free_box(b, "box", (0.138, 0.099, 0.088), 1.45)
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
+def _jaco_mount():
+    from idto_tpu.models.rotations import rpy_to_rot_np
+
+    return rpy_to_rot_np([0.0, 0.0, np.pi / 2])
+
+
+def _jaco() -> ModelBuilder:
+    """Jaco arm pushes a 15 cm box (examples/jaco/jaco.cc:54-78): arm welded
+    at RollPitchYaw(0,0,pi/2) + (0, 0.27, 0.11), gravity disabled on the
+    arm, box_15cm manipuland, ground top at z=0."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/jaco_arm.urdf"),
+        gravity_enabled=False,
+        R_base=_jaco_mount(),
+        p_base=(0.0, 0.27, 0.11),
+    )
+    _add_free_box(b, "box", (0.075, 0.075, 0.075), 0.55)
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
+def _dual_jaco() -> ModelBuilder:
+    """Two jaco arms lift one box together (examples/dual_jaco/dual_jaco.cc:
+    38-66: same arm model instanced twice at y = +/-0.27)."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/jaco_arm.urdf"),
+        gravity_enabled=False,
+        prefix="left_",
+        R_base=_jaco_mount(),
+        p_base=(0.0, 0.27, 0.11),
+    )
+    parse_urdf_file(
+        find_resource("idto_tpu/assets/jaco_arm.urdf"),
+        builder=b,
+        gravity_enabled=False,
+        prefix="right_",
+        R_base=_jaco_mount(),
+        p_base=(0.0, -0.27, 0.11),
+    )
+    _add_free_box(b, "box", (0.075, 0.075, 0.075), 0.55)
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
+def _jaco_ball() -> ModelBuilder:
+    """Jaco arm rolls a ball on the table (examples/jaco_ball/jaco_ball.cc:
+    43-95: r=0.06, m=0.3 ball, same arm mounting as jaco)."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/jaco_arm.urdf"),
+        gravity_enabled=False,
+        R_base=_jaco_mount(),
+        p_base=(0.0, 0.27, 0.11),
+    )
+    _add_free_sphere(b, "ball", 0.06, 0.3)
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
+def _allegro_hand(upside_down: bool = False) -> ModelBuilder:
+    """Allegro hand rotates a ball in-hand (examples/allegro_hand/
+    allegro_hand.cc:80-111: palm-up hand, r=0.06 m=0.05 ball, no ground;
+    --upside_down flips gravity)."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/allegro_hand.urdf"),
+        gravity_enabled=True,
+    )
+    if upside_down:
+        b.set_gravity((0.0, 0.0, 9.81))
+    _add_free_sphere(b, "ball", 0.06, 0.05)
+    return b
+
+
+def _punyo() -> ModelBuilder:
+    """Punyo humanoid hugs and lifts a large ball (examples/punyo/punyo.cc:
+    44-77: gravity disabled on the robot, r=0.2 m=1.0 ball, ground box)."""
+    b = parse_urdf_file(
+        find_resource("idto_tpu/assets/punyoid.urdf"),
+        gravity_enabled=False,
+    )
+    _add_free_sphere(b, "ball", 0.2, 1.0)
+    _add_ground_box(b, z_top=0.0)
+    return b
+
+
 @dataclasses.dataclass(frozen=True)
 class ExampleDef:
     name: str
@@ -114,6 +243,14 @@ _REGISTRY = {
         "mini_cheetah", _mini_cheetah, "mini_cheetah.yaml"
     ),
     "airhockey": ExampleDef("airhockey", _airhockey, "airhockey.yaml"),
+    "kuka": ExampleDef("kuka", _kuka, "kuka.yaml"),
+    "jaco": ExampleDef("jaco", _jaco, "jaco.yaml"),
+    "dual_jaco": ExampleDef("dual_jaco", _dual_jaco, "dual_jaco.yaml"),
+    "jaco_ball": ExampleDef("jaco_ball", _jaco_ball, "jaco_ball.yaml"),
+    "allegro_hand": ExampleDef(
+        "allegro_hand", _allegro_hand, "allegro_hand.yaml"
+    ),
+    "punyo": ExampleDef("punyo", _punyo, "punyo.yaml"),
 }
 
 

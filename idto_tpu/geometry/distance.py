@@ -196,6 +196,8 @@ def signed_distance(
             params_b, R_b, p_b, ta, params_a, R_a, p_a
         )
         return phi, -n, wb, wa
+    if ta == GeomType.CAPSULE and tb == GeomType.CAPSULE:
+        return _capsule_vs_capsule(params_a, R_a, p_a, params_b, R_b, p_b)
     raise NotImplementedError(
         f"signed distance for pair ({ta.name}, {tb.name}) not implemented"
     )
@@ -243,6 +245,40 @@ def _box_vs_box(params_a, R_a, p_a, params_b, R_b, p_b):
     cand = (phi_b[i_b], n_b[i_b], wbox_b[i_b], wc_b[i_b])
     pick = cand[0] < best[0]
     return tuple(jnp.where(pick, c, b) for c, b in zip(cand, best))
+
+
+def _capsule_vs_capsule(params_a, R_a, p_a, params_b, R_b, p_b):
+    """Capsule vs capsule: closest points between the two axis segments
+    (clamped-projection algorithm, branch-free with safe divisions), then
+    sphere-sphere between those points.  Needed by models with multiple
+    capsule limbs (e.g. the punyoid's two arms)."""
+    ra, ha = params_a[0], params_a[1]
+    rb, hb = params_b[0], params_b[1]
+    da = R_a[:, 2] * ha  # half-axis vectors
+    db = R_b[:, 2] * hb
+    r = p_a - p_b
+    A = jnp.sum(da * da)
+    B = jnp.sum(da * db)
+    C = jnp.sum(db * db)
+    D = jnp.sum(da * r)
+    E = jnp.sum(db * r)
+    denom = A * C - B * B
+    # Segment params s, t in [-1, 1]: closest points p_a + s*da, p_b + t*db.
+    s = jnp.clip(
+        (B * E - C * D) / jnp.where(denom < 1e-12, 1.0, denom), -1.0, 1.0
+    )
+    t = jnp.clip((B * s + E) / jnp.where(C < 1e-12, 1.0, C), -1.0, 1.0)
+    # Re-project s for the clamped t (one Gauss-Seidel pass is exact for
+    # segment pairs).
+    s = jnp.clip((B * t - D) / jnp.where(A < 1e-12, 1.0, A), -1.0, 1.0)
+    ca = p_a + s * da
+    cb = p_b + t * db
+    d = _safe_norm(ca - cb)
+    n_ab = (cb - ca) / d  # from A toward B
+    phi = d - ra - rb
+    wa = ca + n_ab * ra
+    wb = cb - n_ab * rb
+    return phi, n_ab, wa, wb
 
 
 def _capsule_vs_shape(params_cap, R_c, p_c, shape_type, params_s, R_s, p_s):

@@ -65,7 +65,9 @@ def _inertial_minus_applied_wrenches(model: Model, q, v, a, external_wrenches):
 
     m = model.mass[:, None]
     F = m * a_com  # linear momentum rate
-    F_grav = m * model.gravity[None, :]
+    # Per-link gravity scale supports Drake's set_gravity_enabled(instance,
+    # false) used by the manipulation examples (e.g. kuka.cc, jaco.cc).
+    F_grav = m * model.grav_scale[:, None] * model.gravity[None, :]
 
     # Rotational inertia about com in world: I_W = R I_B R^T.
     I_w = mat3.mul_t(mat3.mul(R, model.inertia), R)

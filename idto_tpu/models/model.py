@@ -127,6 +127,7 @@ class Model:
     inertia: Any = None  # (nl, 3, 3) rotational inertia about com, link frame
     B: Any = None  # (nv, nu)      actuation matrix (Drake MakeActuationMatrix)
     gravity: Any = None  # (3,)
+    grav_scale: Any = None  # (nl,) 1.0, or 0.0 for gravity-disabled links
     geoms: CollisionGeoms = None
 
     @property
@@ -172,6 +173,7 @@ class ModelBuilder:
         self._com: list[np.ndarray] = []
         self._inertia: list[np.ndarray] = []
         self._actuators: list[int] = []
+        self._grav_on: list[bool] = []
         # geometry
         self._geom_types: list[GeomType] = []
         self._geom_bodies: list[int] = []
@@ -201,6 +203,7 @@ class ModelBuilder:
         mass: float = 0.0,
         com: Sequence[float] = (0.0, 0.0, 0.0),
         inertia: Optional[np.ndarray] = None,
+        gravity_enabled: bool = True,
     ) -> int:
         """Add a link connected to ``parent`` by a new joint; returns index."""
         parent_idx = self.link_index(parent)
@@ -235,7 +238,18 @@ class ModelBuilder:
             if inertia is None
             else np.asarray(inertia, dtype=np.float64)
         )
+        self._grav_on.append(bool(gravity_enabled))
         return idx
+
+    def set_gravity(self, gravity) -> None:
+        """Analog of Drake's mutable_gravity_field().set_gravity_vector()
+        (allegro_hand.cc:92-94 --upside_down)."""
+        self._gravity = np.asarray(gravity, dtype=np.float64)
+
+    def set_gravity_enabled(self, link_name: str, enabled: bool) -> None:
+        """Analog of Drake's plant->set_gravity_enabled(instance, ...) as
+        used by the manipulation examples (kuka.cc:56, jaco.cc:62)."""
+        self._grav_on[self.link_index(link_name)] = bool(enabled)
 
     def add_actuator(self, joint_name: str) -> None:
         j = self._joint_names.index(joint_name)
@@ -328,6 +342,9 @@ class ModelBuilder:
             inertia=jnp.asarray(np.stack(self._inertia), dtype=dtype),
             B=jnp.asarray(Bmat, dtype=dtype),
             gravity=jnp.asarray(self._gravity, dtype=dtype),
+            grav_scale=jnp.asarray(
+                np.asarray(self._grav_on, dtype=np.float64), dtype=dtype
+            ),
             geoms=geoms,
         )
 

@@ -103,12 +103,28 @@ def parse_urdf_string(
     builder: Optional[ModelBuilder] = None,
     *,
     floating_base: Optional[bool] = None,
+    prefix: str = "",
+    R_base=None,
+    p_base=None,
+    gravity_enabled: bool = True,
 ) -> ModelBuilder:
     """Parse URDF into a ModelBuilder (call ``.finalize()`` for the Model).
 
     ``floating_base``: if None, root links without a joint to world get a
     floating joint (Drake free-body behavior); True forces it; False welds
     roots to the world.
+
+    ``prefix`` renames every link/joint/geometry (``prefix + name``) so the
+    same file can be instanced twice into one builder -- the analog of
+    Drake's per-model-instance namespacing used by dual_jaco
+    (examples/dual_jaco/dual_jaco.cc:42-56).
+
+    ``R_base``/``p_base`` pose the model root in the world, the analog of
+    ``WeldFrames(world, base, X)``; they compose into the root joints of
+    links whose parent is the world.
+
+    ``gravity_enabled=False`` disables gravity on every link added by this
+    call (Drake's ``set_gravity_enabled(instance, false)``).
     """
     # URDFs in the wild use the drake: namespace prefix without declaring
     # it (e.g. the reference's mini_cheetah_mesh.urdf); declare it so the
@@ -119,6 +135,11 @@ def parse_urdf_string(
         )
     root = ET.fromstring(text)
     builder = builder or ModelBuilder()
+    R_base = np.eye(3) if R_base is None else np.asarray(R_base, float)
+    p_base = np.zeros(3) if p_base is None else np.asarray(p_base, float)
+
+    def pfx(name: str) -> str:
+        return name if name == "world" else prefix + name
 
     links = {l.get("name"): l for l in root.findall("link")}
     joints = list(root.findall("joint"))
@@ -158,17 +179,23 @@ def parse_urdf_string(
                 else JointType.FIXED
             )
             builder.add_link(
-                name,
+                pfx(name),
                 "world",
                 jt,
-                joint_name=f"{name}_base",
+                joint_name=pfx(f"{name}_base"),
+                R_pj=R_base,
+                p_pj=p_base,
                 mass=mass,
                 com=com,
                 inertia=I,
+                gravity_enabled=gravity_enabled,
             )
         else:
             jt = _JOINT_TYPES[j.get("type")]
             R_pj, p_pj = _origin(j.find("origin"))
+            if j.find("parent").get("link") == "world":
+                R_pj = R_base @ R_pj
+                p_pj = p_base + R_base @ p_pj
             axis_el = j.find("axis")
             axis = (
                 _floats(axis_el.get("xyz"))
@@ -186,10 +213,10 @@ def parse_urdf_string(
                 R_pj = R_pj @ R_align
                 axis = np.array([0.0, 0.0, 1.0])
             builder.add_link(
-                name,
-                j.find("parent").get("link"),
+                pfx(name),
+                pfx(j.find("parent").get("link")),
                 jt,
-                joint_name=j.get("name"),
+                joint_name=pfx(j.get("name")),
                 R_pj=R_pj,
                 p_pj=p_pj,
                 axis=axis,
@@ -197,6 +224,7 @@ def parse_urdf_string(
                 mass=mass,
                 com=com,
                 inertia=I,
+                gravity_enabled=gravity_enabled,
             )
 
         # Collision geometry.
@@ -207,12 +235,12 @@ def parse_urdf_string(
             gtype, params = parsed
             R, p = _origin(col.find("origin"))
             builder.add_geometry(
-                name,
+                pfx(name),
                 gtype,
                 params,
                 R=R,
                 p=p,
-                name=col.get("name", f"{name}_collision_{ci}"),
+                name=pfx(col.get("name", f"{name}_collision_{ci}")),
             )
 
     # Actuators from <transmission> blocks.
@@ -224,7 +252,7 @@ def parse_urdf_string(
             act = trans.find("actuator")
             jname = act.get("name") if act is not None else None
         if jname is not None:
-            builder.add_actuator(jname)
+            builder.add_actuator(pfx(jname))
 
     # drake:collision_filter_group support (used by mini_cheetah feet).
     ns = "{drake.mit.edu}"
@@ -240,6 +268,7 @@ def parse_urdf_string(
                 if m.tag.endswith("ignored_collision_filter_group"):
                     ignores.append((gname, m.get("name")))
             groups[gname] = members
+    groups = {g: [pfx(m) for m in ms] for g, ms in groups.items()}
     for ga, gb in ignores:
         for la in groups.get(ga, []):
             for lb in groups.get(gb, []):
