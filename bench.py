@@ -51,12 +51,13 @@ def main():
     out = jax.block_until_ready(step(model, probs, params, q_guesses))
 
     # Timed steady-state iterations (warm-started on the previous solution,
-    # like the MPC loop).
+    # like the MPC loop).  Each call blocks: an MPC controller cannot act
+    # on a solution that has not materialized, and under remote-dispatch
+    # backends an async chain under-reports wall time.
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(model, probs, params, out)
-    jax.block_until_ready(out)
+        out = jax.block_until_ready(step(model, probs, params, out))
     elapsed = time.perf_counter() - t0
 
     solves_per_s = batch * iters / elapsed

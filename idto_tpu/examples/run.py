@@ -25,6 +25,19 @@ def main(argv=None):
     parser.add_argument("--mpc", action="store_true", help="run closed-loop MPC")
     parser.add_argument("--stats-csv", default=None,
                         help="write per-iteration stats to this CSV file")
+    parser.add_argument("--verbose", action="store_true",
+                        help="print the per-iteration table (reference "
+                             "verbose console output)")
+    parser.add_argument("--contour-csv", default=None,
+                        help="write a 2-D cost-landscape CSV over the "
+                             "first two decision variables (reference "
+                             "save_contour_plot_data)")
+    parser.add_argument("--lineplot-csv", default=None,
+                        help="write a 1-D cost sweep along the final "
+                             "Newton direction (reference lineplot dumps)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print the host profiler table "
+                             "(reference TableOfAverages)")
     args = parser.parse_args(argv)
 
     from idto_tpu.examples.registry import example_names, load_example
@@ -72,6 +85,23 @@ def main(argv=None):
 
     iters = int(stats.num_iters)
     costs = np.asarray(stats.cost)
+    if args.verbose:
+        # Post-hoc per-iteration table (reference prints this live,
+        # trajectory_optimizer.cc:2486-2492, 2570-2583; the solve here runs
+        # entirely on device, so the table is reconstructed from stats).
+        hdr = (f"{'iter':>5} {'cost':>12} {'Delta':>10} {'rho':>10} "
+               f"{'|dq|':>10} {'|g|':>10} {'merit':>12}")
+        for k in range(iters):
+            if k % 50 == 0:
+                print(hdr)
+            print(
+                f"{k:5d} {costs[k]:12.6g} "
+                f"{np.asarray(stats.delta)[k]:10.4g} "
+                f"{np.asarray(stats.rho)[k]:10.4g} "
+                f"{np.asarray(stats.dq_norm)[k]:10.4g} "
+                f"{np.asarray(stats.grad_norm)[k]:10.4g} "
+                f"{np.asarray(stats.merit)[k]:12.6g}"
+            )
     print(f"iterations:     {iters}")
     print(f"initial cost:   {costs[0]:.6g}")
     print(f"final cost:     {costs[max(iters - 1, 0)]:.6g}")
@@ -79,6 +109,11 @@ def main(argv=None):
     print(f"final q[T]:     {np.asarray(sol.q[-1])}")
     tau = np.asarray(sol.tau)
     print(f"max |tau|:      {np.abs(tau).max():.4g}")
+    reason = int(np.asarray(stats.convergence_reason))
+    names = [name for bit, name in
+             [(1, "cost_reduction"), (2, "gradient"), (4, "state_change")]
+             if reason & bit]
+    print(f"convergence:    {'+'.join(names) if names else 'max_iterations'}")
 
     if args.stats_csv or (cfg.save_solver_stats_csv and not args.test):
         from idto_tpu.optimizer.stats_io import save_stats_csv
@@ -86,6 +121,27 @@ def main(argv=None):
         path = args.stats_csv or "solver_stats.csv"
         save_stats_csv(stats, path)
         print(f"stats written to {path}")
+
+    if args.contour_csv:
+        from idto_tpu.optimizer.stats_io import save_contour_csv
+
+        save_contour_csv(model, prob, params, sol.q, args.contour_csv)
+        print(f"contour data written to {args.contour_csv}")
+
+    if args.lineplot_csv:
+        from idto_tpu.optimizer.stats_io import save_lineplot_csv
+
+        direction = np.asarray(sol.q) - np.asarray(q_guess)
+        save_lineplot_csv(
+            model, prob, params, jax.numpy.asarray(q_guess),
+            jax.numpy.asarray(direction), args.lineplot_csv,
+        )
+        print(f"lineplot data written to {args.lineplot_csv}")
+
+    if args.profile:
+        from idto_tpu.utils.profiler import table_of_averages
+
+        print(table_of_averages())
     return 0
 
 

@@ -140,17 +140,67 @@ def _constraint_jacobian_dense(model, prob, partials, unact, dtype):
     return J.reshape(T * n_un, T + 1, nq)
 
 
+def _use_dense(params: SolverParameters) -> bool:
+    """Static: route the linear algebra through a dense factorization
+    (reference: SolverParameters::linear_solver == kDenseLdlt,
+    solver_parameters.h:67-72, and the exact-Hessian testing path,
+    trajectory_optimizer.cc:1465-1499 -- the exact Hessian is not
+    penta-diagonal, so it forces the dense solver)."""
+    from idto_tpu.optimizer.problem import LinearSolverType
+
+    return params.exact_hessian or (
+        params.linear_solver == LinearSolverType.DENSE_LDLT
+    )
+
+
+def _lin_solve(params, factor, rhs):
+    """Solve H x = rhs; `factor` is a PentaFactorization or a dense Cholesky
+    factor depending on the (static) solver choice.  rhs/result: (n, k)."""
+    if _use_dense(params):
+        cho = factor
+        x = jax.scipy.linalg.cho_solve(cho, rhs.reshape(-1))
+        return x.reshape(rhs.shape)
+    return penta.solve_factorized(factor, rhs)
+
+
+def _lin_matvec(params, H, x):
+    if _use_dense(params):
+        return (H @ x.reshape(-1)).reshape(x.shape)
+    return penta.matvec(H, x)
+
+
+def _exact_hessian_dense(model, prob, params, q):
+    """Exact (autodiff) Hessian of the cost, dense, with the q_0 block
+    pinned to identity (reference: CalcExactHessian,
+    trajectory_optimizer.cc:1465-1499; testing only)."""
+    contact = params.contact
+    nq = model.nq
+
+    def cost_flat(qf):
+        return trajectory.cost(
+            model, prob, contact, qf.reshape(prob.num_steps + 1, nq)
+        )
+
+    Hd = jax.hessian(cost_flat)(q.reshape(-1))
+    Hd = Hd.at[:nq, :].set(0.0).at[:, :nq].set(0.0)
+    Hd = Hd.at[:nq, :nq].set(jnp.eye(nq, dtype=q.dtype))
+    return Hd
+
+
+def _scale_factors_from_diag(diag, method: ScalingMethod):
+    safe = jnp.maximum(diag, 1e-30)
+    if method in (ScalingMethod.SQRT, ScalingMethod.ADAPTIVE_SQRT):
+        return jnp.minimum(1.0, 1.0 / jnp.sqrt(safe))
+    return jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.sqrt(safe)))
+
+
 def _scale_factors(H: penta.PentaBands, method: ScalingMethod):
     """D from the Hessian diagonal (reference: CalcScaleFactors,
     trajectory_optimizer.cc:1225-1255).  Adaptive variants fall back to
     their non-adaptive counterparts (no cross-iteration memory in the
     functional formulation; both yield D <= the adaptive value on the first
     iteration and configs in the suite use plain sqrt/double_sqrt)."""
-    diag = penta.extract_diagonal(H)
-    safe = jnp.maximum(diag, 1e-30)
-    if method in (ScalingMethod.SQRT, ScalingMethod.ADAPTIVE_SQRT):
-        return jnp.minimum(1.0, 1.0 / jnp.sqrt(safe))
-    return jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.sqrt(safe)))
+    return _scale_factors_from_diag(penta.extract_diagonal(H), method)
 
 
 def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
@@ -171,18 +221,38 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
     parts = id_partials(model, prob, contact, q)
     nplus = nplus_stack(model, q)
     g = gradient_from_partials(model, prob, parts, nplus, q, v, tau)
-    H = gauss_newton_hessian(model, prob, parts, nplus)
 
-    if params.scaling:
-        D = _scale_factors(H, params.scaling_method)
-        Hs = penta.scale_by_diagonal(H, D)
-        gs = D * g
+    if _use_dense(params):
+        # Dense path: exact AD Hessian (testing) or the GN Hessian
+        # densified (reference kDenseLdlt debug fallback).
+        if params.exact_hessian:
+            Hd = _exact_hessian_dense(model, prob, params, q)
+        else:
+            Hd = penta.to_dense(
+                gauss_newton_hessian(model, prob, parts, nplus)
+            )
+        diag = jnp.diagonal(Hd).reshape(q.shape)
+        if params.scaling:
+            D = _scale_factors_from_diag(diag, params.scaling_method)
+            Df = D.reshape(-1)
+            Hs = Df[:, None] * Hd * Df[None, :]
+            gs = D * g
+        else:
+            D = jnp.ones_like(g)
+            Hs = Hd
+            gs = g
+        factor = jax.scipy.linalg.cho_factor(Hs)
     else:
-        D = jnp.ones_like(g)
-        Hs = H
-        gs = g
-
-    factor = penta.factorize(Hs)
+        H = gauss_newton_hessian(model, prob, parts, nplus)
+        if params.scaling:
+            D = _scale_factors(H, params.scaling_method)
+            Hs = penta.scale_by_diagonal(H, D)
+            gs = D * g
+        else:
+            D = jnp.ones_like(g)
+            Hs = H
+            gs = g
+        factor = penta.factorize(Hs)
 
     unact = _unactuated(model)
     n_h = prob.num_steps * len(unact)
@@ -192,9 +262,9 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
         Js = J * D[None, :, :]  # J~ = J D
         # Lagrange multipliers: (J~ H~^-1 J~^T) lam = h - J~ H~^-1 g~
         # (reference: trajectory_optimizer.cc:1371-1396).
-        Hinv_JT = jax.vmap(lambda r: penta.solve_factorized(factor, r))(Js)
+        Hinv_JT = jax.vmap(lambda r: _lin_solve(params, factor, r))(Js)
         S = jnp.einsum("anq,bnq->ab", Js, Hinv_JT)
-        Hinv_g = penta.solve_factorized(factor, gs)
+        Hinv_g = _lin_solve(params, factor, gs)
         rhs = h - jnp.einsum("anq,nq->a", Js, Hinv_g)
         lam = jnp.linalg.solve(S, rhs)
         g_merit = gs + jnp.einsum("anq,a->nq", Js, lam)
@@ -205,8 +275,8 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
         g_merit = gs
         merit = cost
 
-    p_newton = -penta.solve_factorized(factor, g_merit)
-    Hg = penta.matvec(Hs, g_merit)
+    p_newton = -_lin_solve(params, factor, g_merit)
+    Hg = _lin_matvec(params, Hs, g_merit)
     gg = jnp.sum(g_merit * g_merit)
     gHg = jnp.sum(g_merit * Hg)
     p_cauchy = -(gg / jnp.maximum(gHg, 1e-300)) * g_merit
@@ -345,7 +415,7 @@ def solve_trust_region(
         # ---- trust ratio (reference: CalcTrustRatio) ----
         q_try = _add_to_q(model, params, s.q, dq)
         merit_try, cost_try = _merit_at(model, prob, params, q_try, prep.lam)
-        Hdq = penta.matvec(prep.H, dq_scaled)
+        Hdq = _lin_matvec(params, prep.H, dq_scaled)
         predicted = -jnp.sum(prep.g_merit * dq_scaled) - 0.5 * jnp.sum(
             dq_scaled * Hdq
         )

@@ -24,3 +24,58 @@ def save_stats_csv(stats, path: str) -> None:
     header = ",".join(name for name, _ in cols)
     data = np.stack([col for _, col in cols], axis=1)
     np.savetxt(path, data, delimiter=",", header=header, comments="")
+
+
+def save_contour_csv(model, prob, params, q, path: str,
+                     i1=(1, 0), i2=(2, 0), rng=0.5, n=50) -> None:
+    """2-D cost landscape over two decision variables (reference:
+    SaveContourPlotDataFirstTwoVariables, trajectory_optimizer.cc:1709-1757
+    writes contour_data.csv over q[1][0] x q[2][0]).
+
+    i1/i2 are (timestep, dof) pairs; the grid spans +-rng around the
+    current value.  Columns: q1, q2, L.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from idto_tpu.optimizer import trajectory
+
+    t1, d1 = i1
+    t2, d2 = i2
+    c1 = float(q[t1, d1])
+    c2 = float(q[t2, d2])
+    g1 = jnp.linspace(c1 - rng, c1 + rng, n)
+    g2 = jnp.linspace(c2 - rng, c2 + rng, n)
+
+    def cost_at(a, b):
+        qq = q.at[t1, d1].set(a).at[t2, d2].set(b)
+        return trajectory.cost(model, prob, params.contact, qq)
+
+    L = jax.jit(
+        jax.vmap(jax.vmap(cost_at, in_axes=(None, 0)), in_axes=(0, None))
+    )(g1, g2)
+    A, B = np.meshgrid(np.asarray(g1), np.asarray(g2), indexing="ij")
+    data = np.stack([A.ravel(), B.ravel(), np.asarray(L).ravel()], axis=1)
+    np.savetxt(path, data, delimiter=",", header="q1,q2,L", comments="")
+
+
+def save_lineplot_csv(model, prob, params, q, direction, path: str,
+                      lo=-0.2, hi=1.2, n=100) -> None:
+    """1-D cost/merit sweep L(q + alpha * dq) (reference:
+    SaveLinePlotDataFirstVariable / linesearch residual dumps,
+    trajectory_optimizer.cc:1649-1683, 1797-1835).  Columns: alpha, L."""
+    import jax
+    import jax.numpy as jnp
+
+    from idto_tpu.optimizer import trajectory
+
+    alphas = jnp.linspace(lo, hi, n)
+
+    def cost_at(a):
+        return trajectory.cost(
+            model, prob, params.contact, q + a * direction
+        )
+
+    L = jax.jit(jax.vmap(cost_at))(alphas)
+    data = np.stack([np.asarray(alphas), np.asarray(L)], axis=1)
+    np.savetxt(path, data, delimiter=",", header="alpha,L", comments="")

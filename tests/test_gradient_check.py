@@ -1,0 +1,93 @@
+"""FD/CD/analytic gradient agreement, including through contact
+(reference: ContactGradientMethods, trajectory_optimizer_test.cc:183-280:
+forward differences agree with autodiff to 100*sqrt(eps) relative, central
+differences to 10*sqrt(eps))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idto_tpu.optimizer.gradient_check import (
+    analytic_gradient,
+    cd_gradient,
+    fd_gradient,
+)
+from idto_tpu.optimizer.problem import SolverParameters
+
+from tests.test_optimizer import pendulum_problem
+
+
+def _rel_err(a, b):
+    return np.abs(np.asarray(a) - np.asarray(b)).max() / max(
+        np.abs(np.asarray(b)).max(), 1e-12
+    )
+
+
+class TestGradientMethodsPendulum:
+    def setup_method(self):
+        self.model, self.prob = pendulum_problem(T=8)
+        self.params = SolverParameters()
+        rng = np.random.default_rng(0)
+        q = np.linspace(0.1, np.pi, 9)[:, None] + 0.1 * rng.standard_normal(
+            (9, 1)
+        )
+        q[0] = 0.1
+        self.q = jnp.asarray(q)
+
+    def test_fd_matches_analytic(self):
+        g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
+        g_fd = fd_gradient(self.model, self.prob, self.params, self.q)
+        eps = np.finfo(np.float64).eps
+        assert _rel_err(g_fd, g_an) < 100 * np.sqrt(eps)
+
+    def test_cd_matches_analytic(self):
+        g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
+        g_cd = cd_gradient(self.model, self.prob, self.params, self.q)
+        eps = np.finfo(np.float64).eps
+        assert _rel_err(g_cd, g_an) < 10 * np.sqrt(eps)
+
+    def test_cd4_tighter_than_cd2(self):
+        g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
+        e2 = _rel_err(
+            cd_gradient(self.model, self.prob, self.params, self.q, order=2),
+            g_an,
+        )
+        e4 = _rel_err(
+            cd_gradient(self.model, self.prob, self.params, self.q, order=4),
+            g_an,
+        )
+        assert e4 <= 10 * e2  # both tiny; 4th order at least comparable
+
+
+class TestGradientMethodsContact:
+    """Through the smoothed contact model (spinner)."""
+
+    def setup_method(self):
+        from idto_tpu.examples.registry import load_example
+
+        model, cfg, prob, params, q_guess = load_example("spinner")
+        # Shrink the horizon so FD (one cost eval per variable) stays cheap.
+        T = 6
+        self.prob = prob.replace(
+            num_steps=T, q_nom=prob.q_nom[: T + 1], v_nom=prob.v_nom[: T + 1]
+        )
+        self.model = model
+        self.params = params
+        rng = np.random.default_rng(1)
+        q = np.asarray(q_guess[: T + 1]) + 0.005 * rng.standard_normal(
+            q_guess[: T + 1].shape
+        )
+        q[0] = np.asarray(q_guess[0])
+        self.q = jnp.asarray(q)
+
+    def test_fd_matches_analytic_with_contact(self):
+        g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
+        g_fd = fd_gradient(self.model, self.prob, self.params, self.q)
+        eps = np.finfo(np.float64).eps
+        assert _rel_err(g_fd, g_an) < 100 * np.sqrt(eps)
+
+    def test_cd_matches_analytic_with_contact(self):
+        g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
+        g_cd = cd_gradient(self.model, self.prob, self.params, self.q)
+        eps = np.finfo(np.float64).eps
+        assert _rel_err(g_cd, g_an) < 10 * np.sqrt(eps)

@@ -189,3 +189,73 @@ class TestPendulumSwingup:
         q_guess = jnp.full((prob.num_steps + 1, 1), 0.1)
         sol, stats, _ = solve_trust_region(model, prob, params, q_guess)
         assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
+
+
+class TestDenseAndExactHessian:
+    """Dense-LDLT fallback and exact-Hessian testing paths (reference:
+    solver_parameters.h:67-72 kDenseLdlt; trajectory_optimizer.cc:1465-1499
+    exact Hessian; trajectory_optimizer_test.cc:496-701 compares GN vs exact
+    Hessian on the pendulum)."""
+
+    def test_dense_solver_matches_penta(self):
+        from idto_tpu.optimizer.problem import LinearSolverType
+
+        model, prob = pendulum_problem(T=10)
+        q0 = jnp.asarray(
+            linear_interp_nominal(np.array([0.1]), np.array([np.pi]), 10)
+        )
+        params = SolverParameters(max_iterations=12, check_convergence=False)
+        sol_p, _, _ = jax.jit(
+            lambda m, p, qg: solve_trust_region(m, p, params, qg)
+        )(model, prob, q0)
+        params_d = params.replace(linear_solver=LinearSolverType.DENSE_LDLT)
+        sol_d, _, _ = jax.jit(
+            lambda m, p, qg: solve_trust_region(m, p, params_d, qg)
+        )(model, prob, q0)
+        np.testing.assert_allclose(
+            np.asarray(sol_d.q), np.asarray(sol_p.q), rtol=1e-8, atol=1e-8
+        )
+
+    def test_exact_hessian_close_to_gn_near_solution(self):
+        """Near a minimum of a mildly nonlinear problem the exact Hessian
+        and the GN Hessian agree to leading order: one exact-Hessian step
+        from the GN solution barely moves it."""
+        model, prob = pendulum_problem(T=8)
+        q0 = jnp.asarray(
+            linear_interp_nominal(np.array([0.1]), np.array([np.pi]), 8)
+        )
+        params = SolverParameters(max_iterations=30, check_convergence=False)
+        sol, _, _ = jax.jit(
+            lambda m, p, qg: solve_trust_region(m, p, params, qg)
+        )(model, prob, q0)
+        params_e = params.replace(exact_hessian=True, max_iterations=2)
+        sol_e, _, _ = jax.jit(
+            lambda m, p, qg: solve_trust_region(m, p, params_e, qg)
+        )(model, prob, sol.q)
+        assert (
+            np.abs(np.asarray(sol_e.q) - np.asarray(sol.q)).max() < 1e-4
+        )
+
+    def test_exact_hessian_matches_ad_of_gradient(self):
+        """The dense exact Hessian equals jacfwd of the cost gradient with
+        the q_0 block pinned (pendulum: nq == nv, no quaternions, so the
+        assembled gradient is the exact cost gradient)."""
+        from idto_tpu.optimizer.solver import _exact_hessian_dense
+
+        model, prob = pendulum_problem(T=5)
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(0.3 * rng.standard_normal((6, 1)))
+        params = SolverParameters()
+        Hd = _exact_hessian_dense(model, prob, params, q)
+
+        def cost_flat(qf):
+            return trajectory.cost(
+                model, prob, params.contact, qf.reshape(6, 1)
+            )
+
+        Href = jax.hessian(cost_flat)(q.reshape(-1))
+        Href = Href.at[:1, :].set(0.0).at[:, :1].set(0.0)
+        Href = Href.at[0, 0].set(1.0)
+        np.testing.assert_allclose(
+            np.asarray(Hd), np.asarray(Href), rtol=1e-10, atol=1e-10
+        )
