@@ -33,8 +33,10 @@ def main(argv=None):
                              "first two decision variables (reference "
                              "save_contour_plot_data)")
     parser.add_argument("--lineplot-csv", default=None,
-                        help="write a 1-D cost sweep along the final "
-                             "Newton direction (reference lineplot dumps)")
+                        help="write a 1-D cost sweep along the total solve "
+                             "displacement sol.q - q_guess (reference "
+                             "lineplot dumps sweep the last search "
+                             "direction instead)")
     parser.add_argument("--profile", action="store_true",
                         help="print the host profiler table "
                              "(reference TableOfAverages)")

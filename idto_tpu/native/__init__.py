@@ -40,15 +40,25 @@ def _build_and_load():
         return None
     newest_src = max(os.path.getmtime(s) for s in srcs)
     if not os.path.exists(so_path) or os.path.getmtime(so_path) < newest_src:
+        # Compile to a per-process temp file and rename() into place so
+        # concurrent processes (pytest-xdist, parallel jobs) can't observe
+        # a partially written .so (rename is atomic within a filesystem).
+        tmp_path = f"{so_path}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-std=c++17", "-o", so_path, *srcs,
+            "-std=c++17", "-o", tmp_path, *srcs,
         ]
         try:
             subprocess.run(
                 cmd, check=True, capture_output=True, timeout=120
             )
-        except (subprocess.SubprocessError, FileNotFoundError):
+            os.replace(tmp_path, so_path)
+        except (subprocess.SubprocessError, FileNotFoundError, OSError):
+            if os.path.exists(tmp_path):
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
             return None
     try:
         lib = ctypes.CDLL(so_path)

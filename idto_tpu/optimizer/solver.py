@@ -157,8 +157,11 @@ def _lin_solve(params, factor, rhs):
     """Solve H x = rhs; `factor` is a PentaFactorization or a dense Cholesky
     factor depending on the (static) solver choice.  rhs/result: (n, k)."""
     if _use_dense(params):
-        cho = factor
-        x = jax.scipy.linalg.cho_solve(cho, rhs.reshape(-1))
+        # Partial-pivot LU rather than Cholesky: the exact (autodiff)
+        # Hessian can be indefinite away from a minimum (the reference's
+        # kDenseLdlt path uses Eigen LDLT with an explicit success check);
+        # under jit a Cholesky of an indefinite matrix silently yields NaNs.
+        x = jax.scipy.linalg.lu_solve(factor, rhs.reshape(-1))
         return x.reshape(rhs.shape)
     return penta.solve_factorized(factor, rhs)
 
@@ -241,7 +244,7 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
             D = jnp.ones_like(g)
             Hs = Hd
             gs = g
-        factor = jax.scipy.linalg.cho_factor(Hs)
+        factor = jax.scipy.linalg.lu_factor(Hs)
     else:
         H = gauss_newton_hessian(model, prob, parts, nplus)
         if params.scaling:

@@ -20,7 +20,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Zero thresholds: persist every jitted computation.  The dominant
+        # suite cost is XLA compiles of the full solve graphs (30-120 s on
+        # this 2-core host); sub-second entries are cheap to store and the
+        # solver dispatches many mid-size helper jits that individually sit
+        # under a 1 s threshold.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags

@@ -52,6 +52,7 @@ inline int segment(double t, double t0, double dt, int T, double* s) {
   u = std::max(0.0, std::min(u, static_cast<double>(T) - 1e-12));
   int i = static_cast<int>(u);
   if (i > T - 1) i = T - 1;
+  if (i < 0) i = 0;  // degenerate single-knot store (T = 0)
   *s = u - i;
   return i;
 }
