@@ -155,6 +155,19 @@ def factorize(H: PentaBands) -> PentaFactorization:
     return PentaFactorization(L1=L1, L2=L2, Cp=Cp, Dp=Dp, Ep=Ep)
 
 
+def factorization_status(F: PentaFactorization):
+    """True iff every factor block is finite.  A singular diagonal block in
+    the forward sweep propagates inf/nan into L1/Cp, so this is the analog
+    of the reference's PentaDiagonalFactorizationStatus
+    (penta_diagonal_solver.h:16-22) -- checked by the solver to surface
+    SolverFlag.FACTORIZATION_FAILED rather than silently NaN-ing the
+    trajectory."""
+    ok = jnp.asarray(True)
+    for x in (F.L1, F.L2, F.Cp, F.Dp):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(x)))
+    return ok
+
+
 def solve_factorized(F: PentaFactorization, b):
     """Solve H x = b given the factorization; b of shape (n, k)
     (reference: SolveInPlace, penta_diagonal_solver.h:199-248)."""

@@ -60,6 +60,9 @@ class ScalingMethod(enum.Enum):
 class LinearSolverType(enum.Enum):
     PENTA_LU = "pentadiagonal_lu"
     DENSE_LDLT = "dense_ldlt"
+    # TPU-native log-depth block cyclic reduction (no reference analog; the
+    # reference's only sparse solver is the serial Thomas sweep).
+    CYCLIC_REDUCTION = "cyclic_reduction"
 
 
 @pytree_dataclass

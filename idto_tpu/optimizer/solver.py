@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from idto_tpu.models.kinematics import normalize_quaternions
 from idto_tpu.models.model import Model
-from idto_tpu.ops import penta
+from idto_tpu.ops import cyclic_reduction, penta
 from idto_tpu.optimizer import trajectory
 from idto_tpu.optimizer.hessian import (
     gauss_newton_hessian,
@@ -107,6 +107,7 @@ class _Prepared(NamedTuple):
     p_cauchy: Any  # -(g~^T g~ / g~^T H~ g~) g~
     h: Any  # (n_h,) constraint violations (or zeros(0))
     lam: Any  # (n_h,) Lagrange multipliers
+    fact_ok: Any  # scalar bool: factorization succeeded and step is finite
 
 
 def _unactuated(model: Model):
@@ -153,9 +154,26 @@ def _use_dense(params: SolverParameters) -> bool:
     )
 
 
+def _use_cr(params: SolverParameters) -> bool:
+    """Static: route the sparse solve through log-depth block cyclic
+    reduction instead of the sequential scan-Thomas sweep."""
+    from idto_tpu.optimizer.problem import LinearSolverType
+
+    return (not _use_dense(params)) and (
+        params.linear_solver == LinearSolverType.CYCLIC_REDUCTION
+    )
+
+
+def _sparse_factorize(params, Hs):
+    if _use_cr(params):
+        return cyclic_reduction.factorize(Hs)
+    return penta.factorize(Hs)
+
+
 def _lin_solve(params, factor, rhs):
-    """Solve H x = rhs; `factor` is a PentaFactorization or a dense Cholesky
-    factor depending on the (static) solver choice.  rhs/result: (n, k)."""
+    """Solve H x = rhs; `factor` is a PentaFactorization, CRFactorization,
+    or dense LU factor depending on the (static) solver choice.
+    rhs/result: (n, k)."""
     if _use_dense(params):
         # Partial-pivot LU rather than Cholesky: the exact (autodiff)
         # Hessian can be indefinite away from a minimum (the reference's
@@ -163,6 +181,8 @@ def _lin_solve(params, factor, rhs):
         # under jit a Cholesky of an indefinite matrix silently yields NaNs.
         x = jax.scipy.linalg.lu_solve(factor, rhs.reshape(-1))
         return x.reshape(rhs.shape)
+    if _use_cr(params):
+        return cyclic_reduction.solve_factorized(factor, rhs)
     return penta.solve_factorized(factor, rhs)
 
 
@@ -190,23 +210,24 @@ def _exact_hessian_dense(model, prob, params, q):
     return Hd
 
 
-def _scale_factors_from_diag(diag, method: ScalingMethod):
+def _scale_factors_from_diag(diag, method: ScalingMethod, D_prev):
+    """D from the Hessian diagonal (reference: CalcScaleFactors,
+    trajectory_optimizer.cc:1225-1255).  Adaptive variants (More 1983)
+    take the running minimum against the previous iteration's D, which is
+    carried in the solve loop state (seeded with ones, so the first
+    iteration coincides with the non-adaptive rule)."""
     safe = jnp.maximum(diag, 1e-30)
     if method in (ScalingMethod.SQRT, ScalingMethod.ADAPTIVE_SQRT):
-        return jnp.minimum(1.0, 1.0 / jnp.sqrt(safe))
-    return jnp.minimum(1.0, 1.0 / jnp.sqrt(jnp.sqrt(safe)))
+        d = 1.0 / jnp.sqrt(safe)
+    else:
+        d = 1.0 / jnp.sqrt(jnp.sqrt(safe))
+    if method in (ScalingMethod.ADAPTIVE_SQRT,
+                  ScalingMethod.ADAPTIVE_DOUBLE_SQRT):
+        return jnp.minimum(D_prev, d)
+    return jnp.minimum(1.0, d)
 
 
-def _scale_factors(H: penta.PentaBands, method: ScalingMethod):
-    """D from the Hessian diagonal (reference: CalcScaleFactors,
-    trajectory_optimizer.cc:1225-1255).  Adaptive variants fall back to
-    their non-adaptive counterparts (no cross-iteration memory in the
-    functional formulation; both yield D <= the adaptive value on the first
-    iteration and configs in the suite use plain sqrt/double_sqrt)."""
-    return _scale_factors_from_diag(penta.extract_diagonal(H), method)
-
-
-def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
+def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared:
     """Compute every iterate-dependent quantity the trust-region step needs.
 
     v/tau are computed once and shared by the cost, the constraint
@@ -225,6 +246,9 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
     nplus = nplus_stack(model, q)
     g = gradient_from_partials(model, prob, parts, nplus, q, v, tau)
 
+    if D_prev is None:
+        D_prev = jnp.ones_like(q)
+
     if _use_dense(params):
         # Dense path: exact AD Hessian (testing) or the GN Hessian
         # densified (reference kDenseLdlt debug fallback).
@@ -236,7 +260,7 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
             )
         diag = jnp.diagonal(Hd).reshape(q.shape)
         if params.scaling:
-            D = _scale_factors_from_diag(diag, params.scaling_method)
+            D = _scale_factors_from_diag(diag, params.scaling_method, D_prev)
             Df = D.reshape(-1)
             Hs = Df[:, None] * Hd * Df[None, :]
             gs = D * g
@@ -248,14 +272,16 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
     else:
         H = gauss_newton_hessian(model, prob, parts, nplus)
         if params.scaling:
-            D = _scale_factors(H, params.scaling_method)
+            D = _scale_factors_from_diag(
+                penta.extract_diagonal(H), params.scaling_method, D_prev
+            )
             Hs = penta.scale_by_diagonal(H, D)
             gs = D * g
         else:
             D = jnp.ones_like(g)
             Hs = H
             gs = g
-        factor = penta.factorize(Hs)
+        factor = _sparse_factorize(params, Hs)
 
     unact = _unactuated(model)
     n_h = prob.num_steps * len(unact)
@@ -284,6 +310,20 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
     gHg = jnp.sum(g_merit * Hg)
     p_cauchy = -(gg / jnp.maximum(gHg, 1e-300)) * g_merit
 
+    # Factorization-failure detection (reference: the per-block solver
+    # success check in PentaDiagonalFactorization::Factorize,
+    # penta_diagonal_solver.h:16-22, DRAKE_DEMANDed at the call sites).
+    # A singular block yields inf/nan in the stored factors and/or in the
+    # Newton step; both are checked so the dense-LU path (finite factors,
+    # zero pivot) is covered too.
+    if _use_dense(params):
+        fact_ok = jnp.asarray(True)
+    elif _use_cr(params):
+        fact_ok = cyclic_reduction.factorization_status(factor)
+    else:
+        fact_ok = penta.factorization_status(factor)
+    fact_ok = jnp.logical_and(fact_ok, jnp.all(jnp.isfinite(p_newton)))
+
     return _Prepared(
         cost=cost,
         merit=merit,
@@ -295,6 +335,7 @@ def _prepare(model, prob, params: SolverParameters, q) -> _Prepared:
         p_cauchy=p_cauchy,
         h=h,
         lam=lam,
+        fact_ok=fact_ok,
     )
 
 
@@ -369,6 +410,8 @@ class _LoopState(NamedTuple):
     prev_cost: Any
     reason: Any
     done: Any
+    failed: Any  # factorization failure latch
+    D: Any  # previous scale factors (adaptive scaling carry)
     stats: Stats
 
 
@@ -412,7 +455,7 @@ def solve_trust_region(
         # rejected step recomputes unchanged quantities -- a small runtime
         # cost that keeps exactly ONE trace of the expensive derivative
         # graph in the compiled loop, unlike a lazy-cache formulation).
-        prep = _prepare(model, prob, params, s.q)
+        prep = _prepare(model, prob, params, s.q, s.D)
         dq_scaled, dq, boundary_active = _dogleg(prep, s.Delta)
 
         # ---- trust ratio (reference: CalcTrustRatio) ----
@@ -429,7 +472,10 @@ def solve_trust_region(
             actual / predicted,
         )
 
-        accept = rho > eta
+        # A failed factorization (singular/ill-conditioned Hessian block)
+        # poisons dq; never take such a step, terminate, and surface
+        # SolverFlag.FACTORIZATION_FAILED (reference DRAKE_DEMANDs here).
+        accept = jnp.logical_and(rho > eta, prep.fact_ok)
         q_new = jnp.where(accept, q_try, s.q)
 
         # ---- statistics ----
@@ -474,7 +520,7 @@ def solve_trust_region(
                 + crit_grad.astype(jnp.int32) * ConvergenceReason.GRADIENT
                 + crit_state.astype(jnp.int32) * ConvergenceReason.STATE_CHANGE
             ), 0)
-        done = reason > 0
+        done = jnp.logical_or(reason > 0, ~prep.fact_ok)
 
         # ---- trust region update (reference :2613-2622) ----
         Delta_new = jnp.where(
@@ -496,6 +542,8 @@ def solve_trust_region(
             prev_cost=prev_cost,
             reason=reason,
             done=done,
+            failed=jnp.logical_or(s.failed, ~prep.fact_ok),
+            D=prep.D,
             stats=st,
         )
 
@@ -519,6 +567,8 @@ def solve_trust_region(
         prev_cost=jnp.asarray(jnp.nan, dtype=dtype) + zb,
         reason=jnp.zeros((), jnp.int32) + zb_i,
         done=jnp.zeros((), bool) ^ (zb_i > 0),
+        failed=jnp.zeros((), bool) ^ (zb_i > 0),
+        D=jnp.ones_like(q0) + zb,
         stats=stats0,
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -528,12 +578,16 @@ def solve_trust_region(
     v = trajectory.velocities(model, prob, q)
     tau = trajectory.generalized_forces(model, prob, contact, q)
     flag = jnp.where(
-        final.reason > 0,
-        jnp.int32(SolverFlag.SUCCESS),
+        final.failed,
+        jnp.int32(SolverFlag.FACTORIZATION_FAILED),
         jnp.where(
-            final.k >= params.max_iterations,
-            jnp.int32(SolverFlag.MAX_ITERATIONS),
+            final.reason > 0,
             jnp.int32(SolverFlag.SUCCESS),
+            jnp.where(
+                final.k >= params.max_iterations,
+                jnp.int32(SolverFlag.MAX_ITERATIONS),
+                jnp.int32(SolverFlag.SUCCESS),
+            ),
         ),
     )
     stats = final.stats.replace(

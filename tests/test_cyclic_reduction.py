@@ -1,4 +1,7 @@
-"""Block cyclic reduction vs the Thomas scan solver and dense solves."""
+"""Block cyclic reduction vs the Thomas scan solver and dense solves,
+including the condition-number sweep of the reference
+(optimizer/test/penta_diagonal_solver_test.cc:260-319) in BOTH f64 and f32,
+and the factorization-failure status."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,8 +11,8 @@ from idto_tpu.ops import cyclic_reduction, penta
 from tests.test_penta import random_spd_penta
 
 
-@pytest.mark.parametrize("n,k", [(3, 2), (5, 2), (8, 3), (21, 5), (41, 3),
-                                 (64, 2), (100, 3)])
+@pytest.mark.parametrize("n,k", [(1, 2), (2, 3), (3, 2), (5, 2), (8, 3),
+                                 (21, 5), (41, 3), (64, 2), (100, 3)])
 def test_cr_vs_dense(n, k):
     rng = np.random.default_rng(n * 7 + k)
     H, dense = random_spd_penta(n, k, rng)
@@ -19,6 +22,23 @@ def test_cr_vs_dense(n, k):
     np.testing.assert_allclose(
         np.asarray(x).ravel(), x_dense, rtol=1e-7, atol=1e-9
     )
+
+
+def test_cr_factorization_reuse():
+    """One factorize, many solves (the trust-region solver reuses the
+    factorization for the Newton step + every constraint column)."""
+    rng = np.random.default_rng(0)
+    n, k = 21, 4
+    H, dense = random_spd_penta(n, k, rng)
+    F = cyclic_reduction.factorize(H)
+    assert bool(cyclic_reduction.factorization_status(F))
+    for i in range(3):
+        b = rng.standard_normal((n, k))
+        x = cyclic_reduction.solve_factorized(F, jnp.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(x).ravel(), np.linalg.solve(dense, b.ravel()),
+            rtol=1e-8, atol=1e-10,
+        )
 
 
 def test_cr_vs_thomas_batched():
@@ -34,15 +54,70 @@ def test_cr_vs_thomas_batched():
     )
 
 
-def test_cr_moderate_conditioning():
-    rng = np.random.default_rng(3)
-    n, k = 16, 3
+def _sweep(solve_fn, dtype, conds, n=10, k=3):
+    """Condition sweep harness: relative error vs the true solution must
+    degrade gracefully (~cond * eps), mirroring the reference sweep."""
+    rng = np.random.default_rng(7)
+    N = n * k
     H0, _ = random_spd_penta(n, k, rng)
-    scale = np.power(1e8, np.linspace(0, 0.5, n * k)).reshape(n, k)
-    H = penta.scale_by_diagonal(H0, jnp.asarray(scale))
-    dense = np.asarray(penta.to_dense(H))
-    x_true = rng.standard_normal(n * k)
-    b = (dense @ x_true).reshape(n, k)
-    x = cyclic_reduction.solve(H, jnp.asarray(b))
-    err = np.linalg.norm(np.asarray(x).ravel() - x_true) / np.linalg.norm(x_true)
-    assert err < 1e-6, err
+    H0 = jax.tree.map(lambda x: x.astype(dtype), H0)
+    eps = np.finfo(dtype).eps
+    for cond_target in conds:
+        scale = np.power(cond_target, np.linspace(0, 0.5, N))
+        d = jnp.asarray(scale.reshape(n, k), dtype=dtype)
+        H = penta.scale_by_diagonal(H0, d)
+        dense = np.asarray(penta.to_dense(H), dtype=np.float64)
+        x_true = rng.standard_normal(N)
+        b = dense @ x_true
+        x = solve_fn(H, jnp.asarray(b.reshape(n, k), dtype=dtype))
+        err = np.linalg.norm(
+            np.asarray(x, dtype=np.float64).ravel() - x_true
+        ) / np.linalg.norm(x_true)
+        cond = np.linalg.cond(dense)
+        assert err < max(100 * eps, 100 * cond * eps * N), (
+            cond_target, cond, err,
+        )
+
+
+def test_cr_condition_sweep_f64():
+    _sweep(cyclic_reduction.solve, np.float64, [1e2, 1e6, 1e10, 1e14])
+
+
+def test_cr_condition_sweep_f32():
+    _sweep(cyclic_reduction.solve, np.float32, [1e1, 1e2, 1e3, 1e4])
+
+
+def test_thomas_condition_sweep_f32():
+    """f32 variant of the Thomas sweep (the TPU bench precision; the f64
+    sweep lives in tests/test_penta.py)."""
+    _sweep(penta.solve, np.float32, [1e1, 1e2, 1e3, 1e4])
+
+
+def test_cr_singular_status():
+    """A singular diagonal block must be reported, not silently NaN'd
+    (reference: PentaDiagonalFactorizationStatus,
+    penta_diagonal_solver.h:16-22)."""
+    n, k = 6, 2
+    zero = jnp.zeros((n, k, k))
+    H = penta.PentaBands(A=zero, B=zero, C=zero, D=zero, E=zero)
+    F = cyclic_reduction.factorize(H)
+    assert not bool(cyclic_reduction.factorization_status(F))
+    Ft = penta.factorize(H)
+    assert not bool(penta.factorization_status(Ft))
+
+
+def test_cr_singular_status_under_jit():
+    """Status must be computable inside jit (it feeds SolverFlag)."""
+    n, k = 6, 2
+
+    def status_of(c_scale):
+        zero = jnp.zeros((n, k, k))
+        C = jnp.tile(jnp.eye(k), (n, 1, 1)) * c_scale
+        H = penta.PentaBands(A=zero, B=zero, C=C, D=zero, E=zero)
+        return cyclic_reduction.factorization_status(
+            cyclic_reduction.factorize(H)
+        )
+
+    ok = jax.jit(status_of)(jnp.asarray(1.0))
+    bad = jax.jit(status_of)(jnp.asarray(0.0))
+    assert bool(ok) and not bool(bad)
