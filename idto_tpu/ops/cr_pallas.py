@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: fused block cyclic-reduction penta-diagonal solve.
+
+This is the TPU-native fast path for the solver named by SURVEY.md section
+2.6.4 (replacing the reference's serial Thomas sweep,
+optimizer/penta_diagonal_solver.h:124-248).  One kernel invocation performs
+the entire log-depth reduction *and* the application to R right-hand sides
+with every intermediate resident in VMEM -- no HBM round-trips between
+levels, unlike the XLA-op formulation in ops/cyclic_reduction.py which
+materializes each level.  Scenario batching maps onto the Pallas grid (one
+program per batch element via vmap's pallas batching rule).
+
+Algorithm (identical math to ops/cyclic_reduction.py):
+  * pack the penta system into a block tridiagonal system of 2k-wide
+    super-rows, pad rows to a power of two with identity diagonal blocks,
+  * per level, eliminate the even super-rows: alpha/beta multipliers from
+    Gauss-Jordan inverses of the eliminated diagonal blocks (SPD -> no
+    pivoting), halving the system;
+  * solve the final 1-row system, then back-substitute level by level.
+
+Constraints: f32 (TPU), and the whole working set must fit VMEM -- fine
+for every reference horizon (T <= 40) and up to T ~ 500 at cheetah block
+sizes; ops/cyclic_reduction.py is the fallback beyond.  On non-TPU
+backends the kernel runs in interpreter mode (used by the CPU test suite).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from idto_tpu.ops.penta import PentaBands
+from idto_tpu.ops.cyclic_reduction import _pack_super_tridiag, _pack_rhs
+
+
+def _gj_inverse(M):
+    """Vectorized in-place Gauss-Jordan inverse of (h, K, K) blocks.
+
+    No pivoting: the eliminated diagonal blocks of an SPD cyclic reduction
+    are SPD (Schur complements), so pivots stay positive.  Implemented with
+    one-hot masks (constant at trace time) so it lowers cleanly in Mosaic.
+    """
+    h, K, _ = M.shape
+    dtype = M.dtype
+    # One-hot masks built from iota comparisons: Pallas kernels may not
+    # capture array constants, and TPU requires >= 2-D iota.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    for j in range(K):
+        ej_col = (col_ids == j).astype(dtype)  # (1, 1, K)
+        ej_row = (row_ids == j).astype(dtype)  # (1, K, 1)
+
+        p = M[:, j, j]                       # (h,)
+        recip = 1.0 / p
+        r = M[:, j, :] * recip[:, None]      # (h, K) normalized pivot row
+        r = r * (1.0 - ej_col[0]) + recip[:, None] * ej_col[0]
+        f = M[:, :, j]                       # (h, K) pivot column
+        M = M - f[:, :, None] * r[:, None, :]
+        colj = -f * recip[:, None]
+        M = M * (1.0 - ej_col) + colj[:, :, None] * ej_col
+        M = M * (1.0 - ej_row) + r[:, None, :] * ej_row
+    return M
+
+
+def _bmm(A, B):
+    """(h, K, K) @ (h, K, K) batched matmul on the MXU.
+
+    Precision.HIGHEST: the TPU default is one-pass bf16, which costs ~3
+    decimal digits -- fatal inside a recursive elimination."""
+    return jax.lax.dot_general(
+        A, B,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=A.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _bmv(A, x):
+    """(h, K, K) @ (r, h, K) -> (r, h, K).
+
+    out[r, h, i] = sum_j A[h, i, j] x[r, h, j].  Mosaic requires both
+    matmul operands to carry the batch dim in the same position, so the
+    rhs is transposed to (h, K, r) first.
+    """
+    xt = x.transpose(1, 2, 0)  # (h, K, r)
+    yt = jax.lax.dot_general(
+        A, xt,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=A.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (h, K, r)
+    return yt.transpose(2, 0, 1)
+
+
+def _eye(K, dtype):
+    """Identity built from iota (no captured constants in Pallas kernels)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    return (r == c).astype(dtype)
+
+
+def _cr_kernel(L_ref, C_ref, U_ref, b_ref, x_ref, *, mpow: int, K: int):
+    dtype = x_ref.dtype
+    L = L_ref[:]
+    C = C_ref[:]
+    U = U_ref[:]
+    rhs = b_ref[:]  # (R, mpow, K)
+
+    # ---- downward: reduce matrix and rhs together ----
+    levels = []
+    size = mpow
+    while size > 1:
+        half = size // 2
+        Lp = L.reshape(half, 2, K, K)
+        Cp = C.reshape(half, 2, K, K)
+        Up = U.reshape(half, 2, K, K)
+        L_ev, L_od = Lp[:, 0], Lp[:, 1]
+        C_ev, C_od = Cp[:, 0], Cp[:, 1]
+        U_ev, U_od = Up[:, 0], Up[:, 1]
+        bp = rhs.reshape(rhs.shape[0], half, 2, K)
+        b_ev, b_od = bp[:, :, 0], bp[:, :, 1]
+
+        Cinv_ev = _gj_inverse(C_ev)
+        # Odd row 2j+1: above even block j, below even block j+1 (identity /
+        # zero padding for the last).  half == 1 is special-cased: Mosaic
+        # rejects the 0-sized vectors a [1:] slice would produce.
+        if half == 1:
+            Cinv_below = _eye(K, dtype)[None]
+            L_below = jnp.zeros((1, K, K), dtype=dtype)
+            U_below = jnp.zeros((1, K, K), dtype=dtype)
+            b_below = jnp.zeros((rhs.shape[0], 1, K), dtype=dtype)
+        else:
+            Cinv_below = jnp.concatenate(
+                [Cinv_ev[1:], _eye(K, dtype)[None]], axis=0
+            )
+            L_below = jnp.concatenate(
+                [L_ev[1:], jnp.zeros((1, K, K), dtype=dtype)], axis=0
+            )
+            U_below = jnp.concatenate(
+                [U_ev[1:], jnp.zeros((1, K, K), dtype=dtype)], axis=0
+            )
+            b_below = jnp.concatenate(
+                [b_ev[:, 1:], jnp.zeros((rhs.shape[0], 1, K), dtype=dtype)],
+                axis=1,
+            )
+        alpha = _bmm(L_od, Cinv_ev)
+        beta = _bmm(U_od, Cinv_below)
+        levels.append((Cinv_ev, L_ev, U_ev, b_ev))
+        L = -_bmm(alpha, L_ev)
+        C = C_od - _bmm(alpha, U_ev) - _bmm(beta, L_below)
+        U = -_bmm(beta, U_below)
+        rhs = b_od - _bmv(alpha, b_ev) - _bmv(beta, b_below)
+        size = half
+
+    x = _bmv(_gj_inverse(C), rhs)  # (R, 1, K)
+
+    # ---- upward: recover eliminated even rows ----
+    for (Cinv_ev, L_ev, U_ev, b_ev) in reversed(levels):
+        if x.shape[1] == 1:
+            x_above = jnp.zeros((x.shape[0], 1, K), dtype=dtype)
+        else:
+            x_above = jnp.concatenate(
+                [jnp.zeros((x.shape[0], 1, K), dtype=dtype), x[:, :-1]],
+                axis=1,
+            )
+        r = b_ev - _bmv(L_ev, x_above) - _bmv(U_ev, x)
+        x_ev = _bmv(Cinv_ev, r)
+        x = jnp.stack([x_ev, x], axis=2).reshape(
+            x.shape[0], 2 * x.shape[1], K
+        )
+
+    x_ref[:] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def solve_many(H: PentaBands, rhs, interpret: bool | None = None):
+    """Solve H X = rhs for rhs of shape (R, n, k) in ONE fused kernel
+    (factorize + R applications).  Returns (R, n, k).
+
+    vmap over a leading batch axis of H/rhs maps to the Pallas grid.
+    """
+    n, k = H.n, H.k
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L, C, U = _pack_super_tridiag(H)
+    m = C.shape[0]
+    K = C.shape[1]
+    dtype = C.dtype
+    mpow = 1 << max(m - 1, 0).bit_length()
+    if mpow != m:
+        padn = mpow - m
+        eye = jnp.tile(jnp.eye(K, dtype=dtype), (padn, 1, 1))
+        zero = jnp.zeros((padn, K, K), dtype=dtype)
+        L = jnp.concatenate([L, zero], axis=0)
+        C = jnp.concatenate([C, eye], axis=0)
+        U = jnp.concatenate([U, zero], axis=0)
+    R = rhs.shape[0]
+    b = jax.vmap(lambda r: _pack_rhs(r, m))(rhs)  # (R, m, K)
+    if mpow != m:
+        b = jnp.concatenate(
+            [b, jnp.zeros((R, mpow - m, K), dtype=dtype)], axis=1
+        )
+
+    kernel = functools.partial(_cr_kernel, mpow=mpow, K=K)
+    x = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, mpow, K), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(L, C, U, b)
+
+    m0 = (n + 1) // 2
+    return x[:, :m0].reshape(R, 2 * m0, k)[:, :n]
+
+
+def solve(H: PentaBands, b, interpret: bool | None = None):
+    """Single-rhs convenience wrapper (same interface as penta.solve)."""
+    return solve_many(H, b[None], interpret=interpret)[0]

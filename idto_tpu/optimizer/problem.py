@@ -102,6 +102,10 @@ class SolverParameters:
     )
     contact: ContactParams = static(default_factory=ContactParams)
     verbose: bool = static(default=False)
+    # Pallas fast path for LinearSolverType.CYCLIC_REDUCTION: None = auto
+    # (enabled on TPU in f32), True/False = force.  The pure-JAX cyclic
+    # reduction is used otherwise.
+    cr_use_pallas: Optional[bool] = static(default=None)
 
 
 def linear_interp_nominal(

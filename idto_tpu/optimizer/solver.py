@@ -164,7 +164,24 @@ def _use_cr(params: SolverParameters) -> bool:
     )
 
 
+def _use_pallas(params: SolverParameters, dtype) -> bool:
+    """Static: use the fused Pallas cyclic-reduction kernel.  Auto policy:
+    on for the TPU backend in f32 (the kernel's native regime); the
+    pure-JAX reduction everywhere else.  `params.cr_use_pallas` forces."""
+    if not _use_cr(params):
+        return False
+    if params.cr_use_pallas is not None:
+        return params.cr_use_pallas
+    return jax.default_backend() == "tpu" and dtype == jnp.float32
+
+
 def _sparse_factorize(params, Hs):
+    """For the Pallas path the 'factorization' is the band matrix itself:
+    the kernel fuses reduction + application per launch (reusing a
+    factorization across launches would round-trip every level through
+    HBM, which is exactly what the fused kernel avoids)."""
+    if _use_pallas(params, Hs.C.dtype):
+        return Hs
     if _use_cr(params):
         return cyclic_reduction.factorize(Hs)
     return penta.factorize(Hs)
@@ -172,8 +189,8 @@ def _sparse_factorize(params, Hs):
 
 def _lin_solve(params, factor, rhs):
     """Solve H x = rhs; `factor` is a PentaFactorization, CRFactorization,
-    or dense LU factor depending on the (static) solver choice.
-    rhs/result: (n, k)."""
+    PentaBands (Pallas path), or dense LU factor depending on the (static)
+    solver choice.  rhs/result: (n, k)."""
     if _use_dense(params):
         # Partial-pivot LU rather than Cholesky: the exact (autodiff)
         # Hessian can be indefinite away from a minimum (the reference's
@@ -181,9 +198,25 @@ def _lin_solve(params, factor, rhs):
         # under jit a Cholesky of an indefinite matrix silently yields NaNs.
         x = jax.scipy.linalg.lu_solve(factor, rhs.reshape(-1))
         return x.reshape(rhs.shape)
+    if _use_pallas(params, rhs.dtype):
+        from idto_tpu.ops import cr_pallas
+
+        return cr_pallas.solve_many(factor, rhs[None])[0]
     if _use_cr(params):
         return cyclic_reduction.solve_factorized(factor, rhs)
     return penta.solve_factorized(factor, rhs)
+
+
+def _lin_solve_many(params, factor, rhs_stack):
+    """Solve H X = rhs for a stack (R, n, k) of right-hand sides.  The
+    Pallas path amortizes one fused factorization over all R columns in a
+    single kernel launch (used by the equality-constraint Schur solve,
+    reference: trajectory_optimizer.cc:1371-1396)."""
+    if _use_pallas(params, rhs_stack.dtype):
+        from idto_tpu.ops import cr_pallas
+
+        return cr_pallas.solve_many(factor, rhs_stack)
+    return jax.vmap(lambda r: _lin_solve(params, factor, r))(rhs_stack)
 
 
 def _lin_matvec(params, H, x):
@@ -290,10 +323,14 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
         J = _constraint_jacobian_dense(model, prob, parts, unact, q.dtype)
         Js = J * D[None, :, :]  # J~ = J D
         # Lagrange multipliers: (J~ H~^-1 J~^T) lam = h - J~ H~^-1 g~
-        # (reference: trajectory_optimizer.cc:1371-1396).
-        Hinv_JT = jax.vmap(lambda r: _lin_solve(params, factor, r))(Js)
+        # (reference: trajectory_optimizer.cc:1371-1396).  All n_h + 1
+        # solves share one factorization (single fused launch on the
+        # Pallas path).
+        sols = _lin_solve_many(
+            params, factor, jnp.concatenate([gs[None], Js], axis=0)
+        )
+        Hinv_g, Hinv_JT = sols[0], sols[1:]
         S = jnp.einsum("anq,bnq->ab", Js, Hinv_JT)
-        Hinv_g = _lin_solve(params, factor, gs)
         rhs = h - jnp.einsum("anq,nq->a", Js, Hinv_g)
         lam = jnp.linalg.solve(S, rhs)
         g_merit = gs + jnp.einsum("anq,a->nq", Js, lam)
@@ -316,7 +353,10 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
     # A singular block yields inf/nan in the stored factors and/or in the
     # Newton step; both are checked so the dense-LU path (finite factors,
     # zero pivot) is covered too.
-    if _use_dense(params):
+    if _use_dense(params) or _use_pallas(params, q.dtype):
+        # Dense LU: finite factors even for singular inputs (zero pivot);
+        # Pallas: the 'factor' is the band matrix itself.  Both are covered
+        # by the Newton-step finiteness check below.
         fact_ok = jnp.asarray(True)
     elif _use_cr(params):
         fact_ok = cyclic_reduction.factorization_status(factor)
