@@ -18,6 +18,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+# NOTE on assembly style: boundary terms are folded in with zero-padding
+# and one-hot masks rather than scatter (.at[idx].add) updates.  Scatters
+# at static indices miscompile on shard-boundary rows when the horizon
+# axis is sharded with GSPMD (observed: a .at[T-2].add on a (T-1, nq)
+# array sharded 8-ways corrupted every shard-boundary row); pad/mask adds
+# are elementwise and partition trivially -- and avoid scatter lowering on
+# TPU anyway.
+
 from idto_tpu.models.model import Model
 from idto_tpu.ops.penta import PentaBands, make_symmetric_from_lower
 from idto_tpu.optimizer.partials import IdPartials
@@ -74,13 +82,12 @@ def gradient_from_partials(
     )
     # dv_{t+1}/dq_t = -N^+(q_{t+1})/dt contributions for t = 1..T-2 (Qv)
     # and t = T-1 (terminal Qf_v); tau_{t+1} term for t < T-1.
-    extra = _wvec(-dv_dqt[2:T], Qv, dv_err[2:T]) + _wvec(
-        dm[2:T], R, tau[2:T]
-    )
-    g_mid = g_mid.at[: T - 2].add(extra)
-    g_mid = g_mid.at[T - 2].add(
-        _wvec(-dv_dqt[T : T + 1], Qf_v, dv_err[T : T + 1])[0]
-    )
+    if T > 1:
+        extra = _wvec(-dv_dqt[2:T], Qv, dv_err[2:T]) + _wvec(
+            dm[2:T], R, tau[2:T]
+        )
+        term_last = _wvec(-dv_dqt[T : T + 1], Qf_v, dv_err[T : T + 1])
+        g_mid = g_mid + jnp.concatenate([extra, term_last], axis=0)
 
     g_last = (
         Qf_q * dq_err[T]
@@ -125,15 +132,16 @@ def gauss_newton_hessian(
     )
     # dv_{t+1}/dq_t = -N^+(q_{t+1})/dt, for t = 1..T-1.
     dv_next_dqt = -dv_dqt[2 : T + 1]
-    # Terms present only for t < T-1:
-    C_extra = _wquad(dm[2:T], R, dm[2:T]) + _wquad(
-        dv_next_dqt[: T - 2], Qv, dv_next_dqt[: T - 2]
-    )
-    C_mid = C_mid.at[: T - 2].add(C_extra)
-    # t = T-1: terminal-velocity weight instead.
-    C_mid = C_mid.at[T - 2].add(
-        _wquad(dv_next_dqt[T - 2 : T - 1], Qf_v, dv_next_dqt[T - 2 : T - 1])[0]
-    )
+    # Terms present only for t < T-1, plus the t = T-1 terminal-velocity
+    # row, folded in as one concatenated row-aligned addend (see NOTE).
+    if T > 1:
+        C_extra = _wquad(dm[2:T], R, dm[2:T]) + _wquad(
+            dv_next_dqt[: T - 2], Qv, dv_next_dqt[: T - 2]
+        )
+        C_term = _wquad(
+            dv_next_dqt[T - 2 : T - 1], Qf_v, dv_next_dqt[T - 2 : T - 1]
+        )
+        C_mid = C_mid + jnp.concatenate([C_extra, C_term], axis=0)
 
     C_last = (
         jnp.diag(Qf_q).astype(dtype)
@@ -150,13 +158,12 @@ def gauss_newton_hessian(
     #                   + dv_{t+1}/dq_{t+1}^T Qv dv_{t+1}/dq_t
     #           + [t==T-1] dv_T/dq_T^T Qf_v dv_T/dq_{T-1}
     B_mid = _wquad(dp[1:T], R, dtt[1:T])
-    B_extra = _wquad(dtt[2:T], R, dm[2:T]) + _wquad(
-        dv_dqt[2:T], Qv, -dv_dqt[2:T]
-    )
-    B_mid = B_mid.at[: T - 2].add(B_extra)
-    B_mid = B_mid.at[T - 2].add(
-        _wquad(dv_dqt[T : T + 1], Qf_v, -dv_dqt[T : T + 1])[0]
-    )
+    if T > 1:
+        B_extra = _wquad(dtt[2:T], R, dm[2:T]) + _wquad(
+            dv_dqt[2:T], Qv, -dv_dqt[2:T]
+        )
+        B_term = _wquad(dv_dqt[T : T + 1], Qf_v, -dv_dqt[T : T + 1])
+        B_mid = B_mid + jnp.concatenate([B_extra, B_term], axis=0)
     B = jnp.concatenate(
         [jnp.zeros((2, nq, nq), dtype=dtype), B_mid], axis=0
     )

@@ -173,3 +173,41 @@ def solve_sharded(
     x = sharded(L, C, U, rhs)
     m0 = (n + 1) // 2
     return x[:m0].reshape(2 * m0, k)[:n]
+
+
+def solve_trust_region_horizon_sharded(
+    model, prob, params, q_guess, mesh: Mesh, axis: str = "horizon"
+):
+    """Full trust-region solve with the HORIZON axis sharded over the mesh
+    (sequence parallelism; SURVEY section 5 "long-context").
+
+    Implementation is the scaling-book recipe: annotate the horizon-indexed
+    inputs with NamedSharding and let GSPMD partition the vmapped per-step
+    physics, derivative assembly, and the log-depth cyclic-reduction solve,
+    inserting ICI collectives where the +-2-block stencils cross shard
+    boundaries.  Validated bitwise-close against the unsharded solve
+    (tests/test_horizon.py).
+
+    Requires (T+1) divisible by the mesh size.  Use
+    LinearSolverType.CYCLIC_REDUCTION: the scan-Thomas path is sequential
+    over the horizon and would serialize every level through one device.
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding
+
+    n_knots = prob.num_steps + 1
+    nP = mesh.shape[axis]
+    if n_knots % nP != 0:
+        raise ValueError(
+            f"horizon knots ({n_knots}) must divide the mesh ({nP}); pad T"
+        )
+    shT = NamedSharding(mesh, P(axis))
+    prob_sh = prob.replace(
+        q_nom=_jax.device_put(prob.q_nom, shT),
+        v_nom=_jax.device_put(prob.v_nom, shT),
+    )
+    q_sh = _jax.device_put(q_guess, shT)
+
+    from idto_tpu.optimizer.solver import solve_trust_region
+
+    return solve_trust_region(model, prob_sh, params, q_sh)

@@ -56,6 +56,39 @@ def test_sharded_under_jit(mesh8):
     )
 
 
+def test_full_solve_horizon_sharded(mesh8):
+    """Sequence-parallel FULL trust-region solve (GSPMD over the horizon)
+    matches the unsharded solve on the pendulum swingup at 160 knots.
+    The scatter-free gradient/Hessian assembly (hessian.py NOTE) is what
+    makes this partitioning sound."""
+    from idto_tpu.optimizer.problem import (
+        LinearSolverType, SolverParameters, linear_interp_nominal,
+    )
+    from idto_tpu.optimizer.solver import solve_trust_region
+    from idto_tpu.parallel.horizon import solve_trust_region_horizon_sharded
+    from tests.test_optimizer import pendulum_problem
+
+    T = 159  # 160 knots / 8 devices
+    model, prob = pendulum_problem(T=T)
+    params = SolverParameters(
+        max_iterations=25, scaling=True, equality_constraints=False,
+        linear_solver=LinearSolverType.CYCLIC_REDUCTION,
+    )
+    q_guess = jnp.asarray(linear_interp_nominal([0.1], [0.1], T))
+    sol_sh, st_sh, _ = jax.jit(
+        lambda m, p, qg: solve_trust_region_horizon_sharded(
+            m, p, params, qg, mesh8
+        )
+    )(model, prob, q_guess)
+    sol_un, st_un, _ = jax.jit(
+        lambda m, p, qg: solve_trust_region(m, p, params, qg)
+    )(model, prob, q_guess)
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.q), np.asarray(sol_un.q), rtol=1e-9, atol=1e-12
+    )
+    assert abs(float(sol_sh.q[-1, 0]) - np.pi) < 1e-3
+
+
 def test_single_device_fallback():
     n, k = 21, 3
     rng = np.random.default_rng(3)
