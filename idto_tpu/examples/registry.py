@@ -232,7 +232,23 @@ class ExampleDef:
     name: str
     build: Callable[[], ModelBuilder]
     config: str
+    # Separate simulation plant (the reference's
+    # CreatePlantModelForSimulation override, example_base.h:171): the
+    # closed-loop simulator can run a DIFFERENT model than the optimizer
+    # plans with.  None -> same model (the reference default).
+    build_sim: Optional[Callable[[], ModelBuilder]] = None
+    # Simulation-side contact overrides (ContactParams field dict).  The
+    # reference's hydroelastic sim plants are much stiffer/less smoothed
+    # than the optimizer's smoothed-compliant law; this is that analog.
+    sim_contact: Optional[dict] = None
 
+
+# The five examples whose reference sim plant is hydroelastic (near-rigid)
+# rather than the optimizer's smoothed compliant law (jaco.cc:68-97,
+# dual_jaco.cc, jaco_ball.cc, allegro_hand.cc, punyo.cc
+# CreatePlantModelForSimulation overrides): same kinematics, much stiffer
+# and less smoothed contact on the simulation side.
+_HYDRO_SIM_CONTACT = {"stiffness_scale": 10.0, "smoothing_scale": 0.1}
 
 _REGISTRY = {
     "pendulum": ExampleDef("pendulum", _pendulum, "pendulum.yaml"),
@@ -244,13 +260,18 @@ _REGISTRY = {
     ),
     "airhockey": ExampleDef("airhockey", _airhockey, "airhockey.yaml"),
     "kuka": ExampleDef("kuka", _kuka, "kuka.yaml"),
-    "jaco": ExampleDef("jaco", _jaco, "jaco.yaml"),
-    "dual_jaco": ExampleDef("dual_jaco", _dual_jaco, "dual_jaco.yaml"),
-    "jaco_ball": ExampleDef("jaco_ball", _jaco_ball, "jaco_ball.yaml"),
+    "jaco": ExampleDef("jaco", _jaco, "jaco.yaml",
+                       sim_contact=_HYDRO_SIM_CONTACT),
+    "dual_jaco": ExampleDef("dual_jaco", _dual_jaco, "dual_jaco.yaml",
+                            sim_contact=_HYDRO_SIM_CONTACT),
+    "jaco_ball": ExampleDef("jaco_ball", _jaco_ball, "jaco_ball.yaml",
+                            sim_contact=_HYDRO_SIM_CONTACT),
     "allegro_hand": ExampleDef(
-        "allegro_hand", _allegro_hand, "allegro_hand.yaml"
+        "allegro_hand", _allegro_hand, "allegro_hand.yaml",
+        sim_contact=_HYDRO_SIM_CONTACT,
     ),
-    "punyo": ExampleDef("punyo", _punyo, "punyo.yaml"),
+    "punyo": ExampleDef("punyo", _punyo, "punyo.yaml",
+                        sim_contact=_HYDRO_SIM_CONTACT),
 }
 
 
@@ -282,3 +303,29 @@ def load_example(name: str, test_mode: bool = False):
     params = build_solver_params(cfg)
     q_guess = build_initial_guess(cfg, prob)
     return model, cfg, prob, params, q_guess
+
+
+def load_sim_plant(name: str, params):
+    """(sim_model, sim_contact) for closed-loop simulation, where the
+    example defines a simulation plant different from the optimizer's
+    (reference CreatePlantModelForSimulation, example_base.h:171).
+    Returns (None, None) when the example simulates the optimizer model
+    with optimizer contact (the reference default)."""
+    import dataclasses as _dc
+
+    ex = get_example(name)
+    sim_model = ex.build_sim().finalize() if ex.build_sim else None
+    sim_contact = None
+    if ex.sim_contact:
+        sc = dict(ex.sim_contact)
+        contact = params.contact
+        contact = _dc.replace(
+            contact,
+            stiffness=contact.stiffness * sc.pop("stiffness_scale", 1.0),
+            smoothing_factor=(
+                contact.smoothing_factor * sc.pop("smoothing_scale", 1.0)
+            ),
+            **sc,
+        )
+        sim_contact = contact
+    return sim_model, sim_contact

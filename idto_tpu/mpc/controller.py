@@ -21,8 +21,18 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from idto_tpu.mpc.trajectory_store import StoredTrajectory
-from idto_tpu.models.model import Model
+from idto_tpu.models.model import JointType, Model
+from idto_tpu.models.rotations import (
+    normalize_quat,
+    quat_conj,
+    quat_mul,
+    quat_to_rot,
+    rot_to_quat,
+    rpy_to_rot,
+)
 from idto_tpu.optimizer.problem import ProblemDefinition, SolverParameters
 from idto_tpu.optimizer.solver import (
     Solution,
@@ -64,11 +74,105 @@ def mpc_initialize(
     return carry, sol
 
 
+def shift_nominal(model: Model, q_nom, q0, q_nom_relative):
+    """Shift the nominal trajectory by (q0 - q_nom[0]) on the DoFs selected
+    by the ``q_nom_relative_to_q_init`` mask (reference:
+    mpc_controller.cc:64-73, a purely additive shift).
+
+    Quaternion upgrade: when the mask selects any component of a floating
+    base's quaternion, additive shifting would leave the quaternion
+    non-unit and wrong; those four components are instead shifted by LEFT
+    composition with the relative rotation dq = q0_quat * conj(q_nom0_quat)
+    (the rotation carrying the old nominal base attitude onto the measured
+    one), with a shortest-path sign fix.  The mask must be a concrete
+    (numpy) array: the per-joint layout decision is made at trace time.
+    """
+    sel = jnp.asarray(np.asarray(q_nom_relative), dtype=q_nom.dtype)
+    out = q_nom + sel * (q0 - q_nom[0])
+    mask_np = np.asarray(q_nom_relative, dtype=bool)
+    for j in range(model.num_joints):
+        if JointType(model.joint_types[j]) != JointType.FLOATING:
+            continue
+        qs = model.q_starts[j]
+        if not mask_np[qs : qs + 4].any():
+            continue
+        dquat = quat_mul(
+            normalize_quat(q0[qs : qs + 4]),
+            quat_conj(normalize_quat(q_nom[0, qs : qs + 4])),
+        )
+        rotated = jax.vmap(
+            lambda qn: normalize_quat(quat_mul(dquat, qn))
+        )(q_nom[:, qs : qs + 4])
+        # Shortest path: keep each shifted quaternion in the same
+        # hemisphere as the unshifted nominal (reference:
+        # mini_cheetah_mpc.py:222-224).
+        sign = jnp.where(
+            jnp.sum(rotated * q_nom[:, qs : qs + 4], axis=-1) < 0, -1.0, 1.0
+        )
+        out = out.at[:, qs : qs + 4].set(rotated * sign[:, None])
+    return out
+
+
+def velocity_command_nominal(model: Model, prob: ProblemDefinition, q0, command):
+    """Velocity-command (joystick) nominal trajectory for a floating-base
+    robot: integrate commanded body-frame (vx, vy) and yaw rate wz from the
+    current base pose (reference: python_examples/mini_cheetah_mpc.py:
+    177-229, the gamepad-driven cheetah MPC).
+
+    Returns (q_nom, v_nom).  Non-base DoFs keep prob's nominal.  The
+    velocity layout fix: this framework writes the commanded linear
+    velocity at v[base+3:base+5] and the yaw rate at v[base+2] (world
+    angular z), where the reference's python demo writes indices 4 and 3 of
+    v (one slot high for both) -- a latent bug there since Drake's floating
+    velocity layout is [w(3), v(3)].
+    """
+    vx, vy, wz = command
+    floats = [
+        j for j in range(model.num_joints)
+        if JointType(model.joint_types[j]) == JointType.FLOATING
+    ]
+    assert floats, "velocity_command_nominal needs a floating base"
+    j = floats[0]
+    qs, vs = model.q_starts[j], model.v_starts[j]
+    T = prob.num_steps
+    dt = prob.dt
+    dtype = q0.dtype
+
+    quat0 = normalize_quat(q0[qs : qs + 4])
+    R = quat_to_rot(quat0)
+    v_world = R @ jnp.array([vx, vy, 0.0], dtype=dtype)
+    # Current yaw from the rotation matrix (atan2 of the first column).
+    yaw0 = jnp.arctan2(R[1, 0], R[0, 0])
+
+    ts = jnp.arange(T + 1, dtype=dtype) * dt
+    x_nom = q0[qs + 4] + v_world[0] * ts
+    y_nom = q0[qs + 5] + v_world[1] * ts
+    yaw = yaw0 + wz * ts
+    target_quats = jax.vmap(
+        lambda y: rot_to_quat(rpy_to_rot(jnp.array([0.0, 0.0, 1.0],
+                                                   dtype=dtype) * y))
+    )(yaw)
+    # Shortest path relative to the current attitude.
+    sign = jnp.where(target_quats @ quat0 < 0, -1.0, 1.0)
+    target_quats = target_quats * sign[:, None]
+
+    q_nom = prob.q_nom
+    q_nom = q_nom.at[:, qs : qs + 4].set(target_quats)
+    q_nom = q_nom.at[:, qs + 4].set(x_nom)
+    q_nom = q_nom.at[:, qs + 5].set(y_nom)
+
+    v_nom = prob.v_nom
+    v_nom = v_nom.at[:, vs + 2].set(wz)          # world yaw rate
+    v_nom = v_nom.at[:, vs + 3].set(v_world[0])  # world-frame linear x
+    v_nom = v_nom.at[:, vs + 4].set(v_world[1])  # world-frame linear y
+    return q_nom, v_nom
+
+
 def mpc_step(
     model: Model,
     prob: ProblemDefinition,
     mpc_params: SolverParameters,
-    q_nom_relative,  # (nq,) 0/1 mask
+    q_nom_relative,  # (nq,) 0/1 mask -- concrete numpy (trace-time layout)
     carry: MpcCarry,
     x0,  # (nq + nv,) current state estimate
     t_now,
@@ -84,8 +188,7 @@ def mpc_step(
     q_guess = q_guess.at[0].set(q0)
 
     # 2. Shift the nominal trajectory for relative DoFs.
-    sel = jnp.asarray(q_nom_relative, dtype=x0.dtype)
-    q_nom_new = carry.q_nom + sel * (q0 - carry.q_nom[0])
+    q_nom_new = shift_nominal(model, carry.q_nom, q0, q_nom_relative)
 
     # 3. Re-solve from the warm start (ResetInitialConditions +
     #    SolveFromWarmStart, mpc_controller.cc:76-79).

@@ -42,7 +42,27 @@ class MpcResult:
     u_log: np.ndarray
 
 
-def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
+def run_mpc(
+    model: Model,
+    cfg,
+    prob,
+    params,
+    q_guess,
+    sim_model: Model | None = None,
+    sim_contact=None,
+) -> MpcResult:
+    """Closed-loop MPC.  ``sim_model`` / ``sim_contact`` let the simulated
+    plant differ from the one the optimizer plans with (the reference's
+    CreatePlantModelForSimulation override, example_base.h:171 -- e.g.
+    hydroelastic-contact sim vs point-contact optimizer), enabling
+    model-mismatch robustness evaluation.  Both default to the optimizer's.
+    The sim model must share the optimizer model's state/actuation layout.
+    """
+    sim_model = sim_model if sim_model is not None else model
+    sim_contact = sim_contact if sim_contact is not None else params.contact
+    assert (sim_model.nq, sim_model.nv, sim_model.nu) == (
+        model.nq, model.nv, model.nu,
+    ), "sim model must share the optimizer model's state/actuation layout"
     replan_period = 1.0 / cfg.controller_frequency
     h = cfg.sim_time_step
     substeps = max(1, int(round(replan_period / h)))
@@ -64,13 +84,15 @@ def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
     # on the TPU backend).
     carry, _ = jax.jit(mpc_initialize)(model, prob, params, q_guess)
 
-    rel_j = jnp.asarray(rel)
+    # The relative-shift mask stays a CONCRETE numpy constant (closed over,
+    # not a jit arg): shift_nominal makes per-joint layout decisions with
+    # it at trace time (quaternion-aware shifting).
     step_fn = jax.jit(
-        lambda m, p, r, c, x0, t: mpc_step(m, p, mpc_params, r, c, x0, t)
+        lambda m, p, c, x0, t: mpc_step(m, p, mpc_params, rel, c, x0, t)
     )
     sim_fn = jax.jit(
         lambda m, stored, kp, kd, q0, v0, t: simulate_segment(
-            m, params.contact, h, substeps, stored, kp, kd, q0, v0, t,
+            m, sim_contact, h, substeps, stored, kp, kd, q0, v0, t,
             cfg.feed_forward,
         )
     )
@@ -86,13 +108,14 @@ def run_mpc(model: Model, cfg, prob, params, q_guess) -> MpcResult:
 
         t0 = time.perf_counter()
         new_carry, sol = jax.block_until_ready(
-            step_fn(model, prob, rel_j, carry, x0, jnp.asarray(t_now))
+            step_fn(model, prob, carry, x0, jnp.asarray(t_now))
         )
         solve_times.append(time.perf_counter() - t0)
 
-        # Simulate under the PREVIOUS stored trajectory (one-period delay).
+        # Simulate under the PREVIOUS stored trajectory (one-period delay),
+        # on the SIMULATION plant (which may differ from the optimizer's).
         q, v, log = jax.block_until_ready(
-            sim_fn(model, carry.stored, Kp, Kd, q, v, jnp.asarray(t_now))
+            sim_fn(sim_model, carry.stored, Kp, Kd, q, v, jnp.asarray(t_now))
         )
         carry = new_carry
 

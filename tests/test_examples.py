@@ -25,6 +25,26 @@ def test_example_loads(name):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.parametrize("name", example_names())
+def test_example_solves_in_test_mode(name):
+    """Every example solves end-to-end in --test smoke mode (10 iterations,
+    the reference's per-binary smoke test, example_base.cc:36-45) with
+    finite iterates and a strictly decreased cost."""
+    model, cfg, prob, params, q_guess = load_example(name, test_mode=True)
+    sol, stats, _ = jax.jit(
+        lambda m, p, qg: solve_trust_region(m, p, params, qg)
+    )(model, prob, q_guess)
+    iters = int(stats.num_iters)
+    costs = np.asarray(stats.cost)[:iters]
+    assert iters >= 1
+    assert np.isfinite(costs).all(), costs
+    assert np.all(np.isfinite(np.asarray(sol.q)))
+    assert costs[-1] < costs[0], (name, costs[0], costs[-1])
+    # Trust region only accepts improving steps: recorded per-iterate cost
+    # is non-increasing.
+    assert np.all(np.diff(costs) <= 1e-9), (name, costs)
+
+
 def test_spinner_solve_makes_progress():
     """Open-loop spinner: cost drops by orders of magnitude and the wheel
     turns toward the 2.0 rad target (spinner.yaml q_nom_end)."""

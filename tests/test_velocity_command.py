@@ -1,0 +1,123 @@
+"""Velocity-command (joystick-analog) MPC machinery for the mini cheetah
+(reference: python_examples/mini_cheetah_mpc.py:177-229) and the
+quaternion-aware nominal shift (VERDICT r1 item 8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idto_tpu.examples.registry import load_example
+from idto_tpu.models.rotations import normalize_quat, quat_to_rot
+from idto_tpu.mpc.controller import (
+    make_mpc_params,
+    shift_nominal,
+    velocity_command_nominal,
+)
+from idto_tpu.optimizer.solver import solve_trust_region
+
+
+def _cheetah():
+    return load_example("mini_cheetah", test_mode=True)
+
+
+class TestVelocityCommandNominal:
+    def test_straight_walk_nominal(self):
+        model, cfg, prob, params, q_guess = _cheetah()
+        q0 = prob.q_init
+        vx = 0.4
+        q_nom, v_nom = velocity_command_nominal(model, prob, q0, (vx, 0.0, 0.0))
+        # Base x positions advance by vx * t (base starts yaw ~ 0).
+        ts = np.arange(prob.num_steps + 1) * prob.dt
+        np.testing.assert_allclose(
+            np.asarray(q_nom[:, 4]), np.asarray(q0[4]) + vx * ts, atol=1e-6
+        )
+        # Quaternions stay unit and (for wz = 0) equal to pure yaw of the
+        # current attitude's yaw.
+        norms = np.linalg.norm(np.asarray(q_nom[:, :4]), axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-6)
+        # Commanded world-frame linear velocity in v_nom.
+        np.testing.assert_allclose(np.asarray(v_nom[:, 3]), vx, atol=1e-6)
+
+    def test_yaw_command_integrates(self):
+        model, cfg, prob, params, q_guess = _cheetah()
+        q0 = prob.q_init
+        wz = 0.5
+        q_nom, v_nom = velocity_command_nominal(model, prob, q0, (0.0, 0.0, wz))
+        # Yaw of the final nominal attitude ~ wz * T * dt.
+        quatT = normalize_quat(q_nom[-1, :4])
+        R = np.asarray(quat_to_rot(quatT))
+        yawT = np.arctan2(R[1, 0], R[0, 0])
+        assert abs(yawT - wz * prob.num_steps * prob.dt) < 1e-5
+        np.testing.assert_allclose(np.asarray(v_nom[:, 2]), wz, atol=1e-6)
+
+    def test_body_frame_rotation(self):
+        """With the base yawed 90 degrees, a forward command moves the
+        nominal along world +y."""
+        model, cfg, prob, params, q_guess = _cheetah()
+        yaw = np.pi / 2
+        q0 = prob.q_init.at[0].set(np.cos(yaw / 2)).at[3].set(np.sin(yaw / 2))
+        q0 = q0.at[1].set(0.0).at[2].set(0.0)
+        q_nom, v_nom = velocity_command_nominal(model, prob, q0, (0.3, 0.0, 0.0))
+        dx = float(q_nom[-1, 4] - q0[4])
+        dy = float(q_nom[-1, 5] - q0[5])
+        assert abs(dx) < 1e-5
+        assert abs(dy - 0.3 * prob.num_steps * prob.dt) < 1e-5
+
+
+class TestQuaternionShift:
+    def test_additive_for_nonquat_dofs(self):
+        model, cfg, prob, params, q_guess = _cheetah()
+        mask = np.zeros(model.nq)
+        mask[4] = 1.0  # base x only (the shipped cheetah config's choice)
+        q0 = prob.q_init + 0.3 * jnp.ones_like(prob.q_init)
+        out = shift_nominal(model, prob.q_nom, q0, mask)
+        expected = np.asarray(prob.q_nom).copy()
+        expected[:, 4] += float(q0[4] - prob.q_nom[0, 4])
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-12)
+
+    def test_quaternion_composition_shift(self):
+        """Masked quaternion DoFs shift by composition: the shifted nominal
+        attitude at knot 0 equals the measured attitude, all knots stay
+        unit quaternions (an additive shift satisfies neither)."""
+        model, cfg, prob, params, q_guess = _cheetah()
+        mask = np.zeros(model.nq)
+        mask[0:4] = 1.0
+        yaw = 0.7
+        q0 = prob.q_init.at[0].set(np.cos(yaw / 2)).at[3].set(np.sin(yaw / 2))
+        q0 = q0.at[1].set(0.0).at[2].set(0.0)
+        out = shift_nominal(model, prob.q_nom, q0, mask)
+        out = np.asarray(out)
+        norms = np.linalg.norm(out[:, :4], axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-9)
+        # Knot 0 lands exactly on the measured attitude (up to sign).
+        d = abs(float(np.dot(out[0, :4], np.asarray(q0[:4]))))
+        assert d > 1 - 1e-9
+
+
+def test_cheetah_velocity_command_solve_moves_base():
+    """One-iteration-capped MPC-style solves against a velocity-command
+    nominal actually push the optimized base forward (open-loop analog of
+    the joystick demo's tracking)."""
+    model, cfg, prob, params, q_guess = _cheetah()
+    params = make_mpc_params(params, mpc_iters=8)
+    solve = jax.jit(lambda m, p, qg: solve_trust_region(m, p, params, qg))
+
+    def solve_dx(vx):
+        q_nom, v_nom = velocity_command_nominal(
+            model, prob, prob.q_init, (vx, 0.0, 0.0)
+        )
+        sol, stats, _ = solve(
+            model, prob.replace(q_nom=q_nom, v_nom=v_nom), q_guess
+        )
+        assert np.all(np.isfinite(np.asarray(sol.q)))
+        return float(sol.q[-1, 4] - sol.q[0, 4])
+
+    # A handful of GN iterations from a standing guess cannot cover the
+    # full commanded displacement, but the solved base motion must follow
+    # the SIGN of the command: forward-commanded solves move decisively
+    # further forward than backward-commanded ones (the shipped cheetah
+    # nominal already walks forward on its own, so compare the two
+    # commands against each other rather than against zero).
+    dx_fwd = solve_dx(0.4)
+    dx_bwd = solve_dx(-0.4)
+    assert dx_fwd > 0.005, dx_fwd
+    assert dx_fwd > dx_bwd + 0.005, (dx_fwd, dx_bwd)
