@@ -40,6 +40,14 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="print the host profiler table "
                              "(reference TableOfAverages)")
+    parser.add_argument("--playback", default=None, metavar="OUT.html",
+                        help="export the solved trajectory as a standalone "
+                             "WebGL playback HTML (reference meshcat "
+                             "StaticHtml, example_base.cc:173-181); also "
+                             "honors the YAML play_optimal_trajectory / "
+                             "play_initial_guess / play_target_trajectory "
+                             "flags by writing <name>_{optimal,guess,"
+                             "target}.html next to OUT.html")
     args = parser.parse_args(argv)
 
     from idto_tpu.examples.registry import example_names, load_example
@@ -60,9 +68,12 @@ def main(argv=None):
     )
 
     if args.mpc and cfg.mpc and not args.test:
+        from idto_tpu.examples.registry import load_sim_plant
         from idto_tpu.mpc.runner import run_mpc
 
-        result = run_mpc(model, cfg, prob, params, q_guess)
+        sim_model, sim_contact = load_sim_plant(args.example, params)
+        result = run_mpc(model, cfg, prob, params, q_guess,
+                         sim_model=sim_model, sim_contact=sim_contact)
         print(
             f"MPC: {result.num_solves} solves, "
             f"mean solve time {1e3 * result.mean_solve_time:.2f} ms "
@@ -139,6 +150,27 @@ def main(argv=None):
             jax.numpy.asarray(direction), args.lineplot_csv,
         )
         print(f"lineplot data written to {args.lineplot_csv}")
+
+    if args.playback:
+        import os
+
+        from idto_tpu.utils.playback import export_html
+
+        base, ext = os.path.splitext(args.playback)
+        out = export_html(model, sol.q, prob.dt, args.playback,
+                          title=f"{args.example} (optimal)")
+        print(f"playback written to {out}")
+        # YAML play_* flags (reference example_base.cc:107-124) select
+        # additional recordings.
+        extras = []
+        if cfg.play_initial_guess:
+            extras.append((q_guess, "guess"))
+        if cfg.play_target_trajectory:
+            extras.append((prob.q_nom, "target"))
+        for qs, tag in extras:
+            out = export_html(model, qs, prob.dt, f"{base}_{tag}{ext}",
+                              title=f"{args.example} ({tag})")
+            print(f"playback written to {out}")
 
     if args.profile:
         from idto_tpu.utils.profiler import table_of_averages
