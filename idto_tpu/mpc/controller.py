@@ -201,3 +201,38 @@ def mpc_step(
     stored = StoredTrajectory.from_solution(model, sol, t_now, prob.dt)
     new_carry = MpcCarry(stored=stored, Delta=warm.Delta, q_nom=q_nom_new)
     return new_carry, sol
+
+
+def mpc_step_velocity_command(
+    model: Model,
+    prob: ProblemDefinition,
+    mpc_params: SolverParameters,
+    carry: MpcCarry,
+    x0,  # (nq + nv,) current state estimate
+    t_now,
+    command,  # (3,) commanded (vx, vy, wz); traced, so no recompiles
+) -> tuple[MpcCarry, Solution]:
+    """mpc_step where the nominal comes from a body-frame velocity command
+    instead of the shifted fixed nominal -- the joystick-driven MPC of the
+    reference's python_examples/mini_cheetah_mpc.py:134-229, as one jitted
+    device-resident step (the command is a traced array: changing it
+    between replans costs nothing)."""
+    T = prob.num_steps
+    nq = model.nq
+    q0 = x0[:nq]
+    v0 = x0[nq:]
+
+    times = t_now + jnp.arange(T + 1, dtype=x0.dtype) * prob.dt
+    q_guess = jax.vmap(lambda t: carry.stored.sample_state(t)[0])(times)
+    q_guess = q_guess.at[0].set(q0)
+
+    q_nom_new, v_nom_new = velocity_command_nominal(model, prob, q0, command)
+    prob_now = prob.replace(
+        q_init=q0, v_init=v0, q_nom=q_nom_new, v_nom=v_nom_new
+    )
+    sol, stats, warm = solve_trust_region(
+        model, prob_now, mpc_params, q_guess, Delta0=carry.Delta
+    )
+    stored = StoredTrajectory.from_solution(model, sol, t_now, prob.dt)
+    new_carry = MpcCarry(stored=stored, Delta=warm.Delta, q_nom=q_nom_new)
+    return new_carry, sol

@@ -60,12 +60,29 @@ def make_spd_penta_batch(B, n, k, rng, dtype):
     return jax.vmap(spd_from_lower)(lower)
 
 
-def timeit(fn, *args, iters=10):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
+class CaseTimeout(Exception):
+    pass
+
+
+def timeit(fn, *args, iters=10, budget_s=600):
+    """Compile + time; a SIGALRM budget skips cases whose (remote AOT)
+    compile stalls instead of wedging the whole sweep."""
+    import signal
+
+    def _raise(signum, frame):
+        raise CaseTimeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(budget_s)
+    try:
         out = jax.block_until_ready(fn(*args))
-    return (time.perf_counter() - t0) / iters, out
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jax.block_until_ready(fn(*args))
+        return (time.perf_counter() - t0) / iters, out
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def main():
@@ -118,11 +135,10 @@ def main():
                     row[f"{name}_error"] = str(e)[:200]
             results.append(row)
             print(json.dumps(row), flush=True)
-
-    out_path = os.path.join(os.path.dirname(__file__), "..",
-                            "BENCH_LINSOLVE.json")
-    with open(out_path, "w") as f:
-        json.dump({"results": results}, f, indent=1)
+            out_path = os.path.join(os.path.dirname(__file__), "..",
+                                    "BENCH_LINSOLVE.json")
+            with open(out_path, "w") as f:
+                json.dump({"results": results}, f, indent=1)
     print(f"wrote {os.path.abspath(out_path)}")
 
 

@@ -1,0 +1,100 @@
+"""Scaling-efficiency benchmark (BASELINE.md north star: >= 80% solves/s
+scaling efficiency at 4096 batched scenarios across 1 chip -> 1 host ->
+multi-host).
+
+Measures mini-cheetah warm-started one-iteration solves/s at a fixed
+global batch, on 1 device and on the full local mesh, and reports
+efficiency = throughput_N / (N * throughput_1).
+
+Only one real TPU chip is reachable from this environment (axon tunnel),
+so the recorded artifact uses the virtual multi-device CPU mesh to
+validate the *mechanism* (sharded == vmap, psum'd summaries, linear
+scaling of per-device work); wall-clock efficiency on real multi-chip ICI
+must be re-measured on hardware with `JAX_PLATFORMS=tpu` unset.  Writes
+BENCH_SCALING.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "tpu" and "XLA_FLAGS" not in os.environ:
+        # allow standalone runs: virtual 8-device CPU mesh
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    from idto_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idto_tpu.examples.registry import load_example
+    from idto_tpu.parallel.batching import (
+        broadcast_problem, make_mesh, solve_batch, solve_batch_sharded,
+    )
+
+    model, cfg, prob, params, q_guess = load_example("mini_cheetah")
+    params = params.replace(max_iterations=1, check_convergence=False)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    n_dev = len(jax.devices())
+    global_batch = 4096 if on_tpu else 64
+    key = jax.random.PRNGKey(0)
+
+    def build(batch):
+        probs = broadcast_problem(prob, batch)
+        dq = 0.01 * jax.random.normal(
+            key, (batch, model.nq), dtype=q_guess.dtype
+        )
+        probs = probs.replace(q_init=probs.q_init + dq)
+        qgs = (
+            jnp.broadcast_to(q_guess, (batch,) + q_guess.shape)
+            + dq[:, None, :]
+        )
+        return probs, qgs
+
+    def measure(fn, args, iters=5):
+        out = jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = jax.block_until_ready(fn(*args))
+        del out
+        return (time.perf_counter() - t0) / iters
+
+    results = {"device": jax.devices()[0].device_kind, "n_devices": n_dev,
+               "global_batch": global_batch}
+
+    probs, qgs = build(global_batch)
+
+    # 1 device (plain vmap, default placement on device 0).
+    step1 = jax.jit(lambda m, p, prm, qg: solve_batch(m, p, prm, qg)[0].q)
+    dt1 = measure(step1, (model, probs, params, qgs))
+    results["solves_per_s_1dev"] = round(global_batch / dt1, 2)
+
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        stepN = jax.jit(
+            lambda m, p, qg: solve_batch_sharded(m, p, params, qg, mesh)[0].q
+        )
+        dtN = measure(stepN, (model, probs, qgs))
+        results["solves_per_s_alldev"] = round(global_batch / dtN, 2)
+        results["scaling_efficiency"] = round(
+            (global_batch / dtN) / (n_dev * (global_batch / dt1)), 4
+        )
+
+    print(json.dumps(results))
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "BENCH_SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
