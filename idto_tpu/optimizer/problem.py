@@ -102,6 +102,11 @@ class SolverParameters:
     )
     contact: ContactParams = static(default_factory=ContactParams)
     verbose: bool = static(default=False)
+    # Cross-check every sparse penta-diagonal solve against a dense LU solve
+    # and print the relative error (reference: debug_compare_against_dense,
+    # solver_parameters.h + trajectory_optimizer.cc:2142-2150).  Debug only:
+    # densifies the Hessian each iteration.
+    debug_compare_against_dense: bool = static(default=False)
     # Pallas fast path for LinearSolverType.CYCLIC_REDUCTION: None = auto
     # (enabled on TPU in f32), True/False = force.  The pure-JAX cyclic
     # reduction is used otherwise.

@@ -342,6 +342,20 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
         merit = cost
 
     p_newton = -_lin_solve(params, factor, g_merit)
+    if params.debug_compare_against_dense and not _use_dense(params):
+        # Reference: debug_compare_against_dense re-solves the scaled system
+        # densely and reports the relative difference
+        # (trajectory_optimizer.cc:2142-2150).
+        Hd = penta.to_dense(Hs)
+        x_dense = jnp.linalg.solve(Hd, -g_merit.reshape(-1)).reshape(
+            g_merit.shape
+        )
+        err = jnp.linalg.norm(p_newton - x_dense) / jnp.maximum(
+            jnp.linalg.norm(x_dense), 1e-300
+        )
+        jax.debug.print(
+            "[debug] sparse vs. dense solve relative error: {e:.3e}", e=err
+        )
     Hg = _lin_matvec(params, Hs, g_merit)
     gg = jnp.sum(g_merit * g_merit)
     gHg = jnp.sum(g_merit * Hg)
@@ -455,6 +469,25 @@ class _LoopState(NamedTuple):
     stats: Stats
 
 
+def _print_iter_row(k, cost, merit, Delta, rho, dq_norm, g_norm, h_norm):
+    """Host-side verbose printer (reference: the per-iteration console table,
+    trajectory_optimizer.cc:2486-2492 & 2570-2583 -- header reprinted every
+    50 rows)."""
+    k = int(k)
+    if k % 50 == 0:
+        print(
+            f"{'iter':>5} | {'cost':>12} | {'merit':>12} | {'Delta':>9} | "
+            f"{'rho':>9} | {'||dq||':>9} | {'||g||':>9} | {'||h||':>9}"
+        )
+        print("-" * 94)
+    print(
+        f"{k:>5} | {float(cost):>12.6g} | {float(merit):>12.6g} | "
+        f"{float(Delta):>9.3g} | {float(rho):>9.3g} | "
+        f"{float(dq_norm):>9.3g} | {float(g_norm):>9.3g} | "
+        f"{float(h_norm):>9.3g}"
+    )
+
+
 def _empty_stats(max_iters, dtype):
     nan = jnp.full(max_iters, jnp.nan, dtype=dtype)
     return Stats(
@@ -538,6 +571,18 @@ def solve_trust_region(
             ),
             merit=st.merit.at[k].set(prep.merit),
         )
+
+        if params.verbose:
+            # Live console table (single-scenario solves; under vmap the
+            # callback would receive batched scalars, so batched solves
+            # should leave verbose off and print Stats post-hoc).
+            jax.debug.callback(
+                _print_iter_row,
+                s.k, prep.cost, prep.merit, s.Delta, rho, dq_norm,
+                jnp.linalg.norm(prep.g_merit),
+                jnp.linalg.norm(prep.h) if prep.h.shape[0] else jnp.zeros((), dtype),
+                ordered=True,
+            )
 
         # ---- convergence (only on accepted steps; reference :2600-2611) ----
         reason = jnp.zeros((), jnp.int32)

@@ -124,3 +124,36 @@ class TestAdaptiveScaling:
         )
         sol, stats, _ = _swingup(params)
         assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
+
+
+class TestVerboseAndDebugOutput:
+    def test_verbose_prints_iteration_table(self, capfd):
+        """params.verbose must emit a live per-iteration console table
+        (reference: trajectory_optimizer.cc:2486-2492, 2570-2583)."""
+        params = SolverParameters(
+            max_iterations=5, equality_constraints=False, verbose=True
+        )
+        sol, stats, _ = _swingup(params, T=8)
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        assert "iter" in out and "cost" in out and "rho" in out
+        # one header + max_iterations data rows
+        rows = [l for l in out.splitlines() if l.strip().startswith(("0 ", "1 ", "2 ", "3 ", "4 ")) or l.split("|")[0].strip().isdigit()]
+        assert len(rows) >= 5
+
+    def test_debug_compare_against_dense(self, capfd):
+        """debug_compare_against_dense cross-checks each sparse solve against
+        dense LU (reference: trajectory_optimizer.cc:2142-2150) -- the
+        reported relative error must be tiny for the well-conditioned
+        pendulum Hessian."""
+        params = SolverParameters(
+            max_iterations=3, equality_constraints=False,
+            debug_compare_against_dense=True,
+        )
+        sol, stats, _ = _swingup(params, T=8)
+        jax.effects_barrier()
+        out = capfd.readouterr().out
+        lines = [l for l in out.splitlines() if "sparse vs. dense" in l]
+        assert len(lines) >= 3
+        errs = [float(l.rsplit(" ", 1)[-1]) for l in lines]
+        assert max(errs) < 1e-8
