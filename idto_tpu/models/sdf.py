@@ -17,9 +17,10 @@ those models exercise is supported:
     actuated (Drake's SDF convention),
   * ``<inertial>`` with child-element mass/inertia (re-expressed from the
     inertial frame into the link frame),
-  * collision geometries: sphere, box, capsule, cylinder (meshes are
-    skipped; the reference ships sphere-approximated collision variants
-    for exactly this reason, e.g. j2s7s300_arm_sphere_collision_v2.sdf),
+  * collision geometries: sphere, box, capsule, cylinder; mesh collisions
+    are approximated by fitted bounding primitives (models/mesh.py -- the
+    automated analog of the reference's hand-simplified collision models,
+    e.g. j2s7s300_arm_sphere_collision_v2.sdf),
   * ``drake:collision_filter_group`` exclusion groups.
 
 Frame handling: SDF decouples the child-link frame from the joint frame
@@ -98,27 +99,45 @@ def _parse_inertial(link_el: ET.Element):
     return mass, p_li, R_li @ I @ R_li.T
 
 
-def _parse_geometry(geom_el: Optional[ET.Element]):
-    """(GeomType, params) or None for unsupported (mesh/plane)."""
+def _parse_geometry(geom_el: Optional[ET.Element], mesh_dir=None):
+    """(GeomType, params, R_extra, p_extra) or None for unsupported.
+
+    Mesh collisions are approximated by fitted bounding primitives
+    (models/mesh.py) when ``mesh_dir`` resolves the ``<uri>``."""
     if geom_el is None:
         return None
+    eye, zero = np.eye(3), np.zeros(3)
     for child in geom_el:
         tag = child.tag.rsplit("}", 1)[-1]
         if tag == "sphere":
-            return GeomType.SPHERE, [float(_text(child, "radius"))]
+            return GeomType.SPHERE, [float(_text(child, "radius"))], eye, zero
         if tag == "box":
             size = _floats(_text(child, "size"))
-            return GeomType.BOX, list(size / 2.0)
+            return GeomType.BOX, list(size / 2.0), eye, zero
         if tag == "capsule":
             return GeomType.CAPSULE, [
                 float(_text(child, "radius")),
                 float(_text(child, "length")) / 2.0,
-            ]
+            ], eye, zero
         if tag == "cylinder":
             return GeomType.CYLINDER, [
                 float(_text(child, "radius")),
                 float(_text(child, "length")) / 2.0,
-            ]
+            ], eye, zero
+        if tag == "mesh":
+            if mesh_dir is None:
+                return None
+            import os
+
+            from idto_tpu.models.mesh import mesh_to_primitive
+
+            uri = _text(child, "uri")
+            scale_txt = _text(child, "scale")
+            scale = _floats(scale_txt) if scale_txt else None
+            path = uri if os.path.isabs(uri) else os.path.join(mesh_dir, uri)
+            if not os.path.exists(path):
+                return None
+            return mesh_to_primitive(path, scale=scale)
     return None
 
 
@@ -131,6 +150,7 @@ def parse_sdf_string(
     R_base=None,
     p_base=None,
     gravity_enabled: bool = True,
+    mesh_dir=None,
 ) -> ModelBuilder:
     """Parse an SDF model into a ModelBuilder (``.finalize()`` -> Model).
 
@@ -265,12 +285,12 @@ def parse_sdf_string(
 
         # Collision geometry, re-expressed into the canonical frame.
         for ci, col in enumerate(link_el.findall("collision")):
-            parsed = _parse_geometry(col.find("geometry"))
+            parsed = _parse_geometry(col.find("geometry"), mesh_dir)
             if parsed is None:
                 continue
-            gtype, params = parsed
+            gtype, params, R_g, p_g = parsed
             X_C_col = _pose_of(col.find("pose"))
-            R, p = _compose(X_JC, X_C_col)
+            R, p = _compose(_compose(X_JC, X_C_col), (R_g, p_g))
             builder.add_geometry(
                 pfx(name), gtype, params, R=R, p=p,
                 name=pfx(col.get("name", f"{name}_collision_{ci}")),
@@ -304,6 +324,9 @@ def parse_sdf_string(
 
 
 def parse_sdf_file(path, **kwargs) -> ModelBuilder:
+    import os
+
+    kwargs.setdefault("mesh_dir", os.path.dirname(os.path.abspath(str(path))))
     with open(path) as f:
         return parse_sdf_string(f.read(), **kwargs)
 

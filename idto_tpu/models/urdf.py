@@ -74,27 +74,49 @@ def _parse_inertial(link: ET.Element):
     return mass, com, I_link
 
 
-def _parse_geometry(geom_el: ET.Element):
-    """Returns (GeomType, params) or None for unsupported (e.g. mesh)."""
+def _parse_geometry(geom_el: ET.Element, mesh_dir: Optional[str] = None):
+    """Returns (GeomType, params, R_extra, p_extra) or None if unsupported.
+
+    R_extra/p_extra compose inside the collision origin: identity for
+    primitives; for meshes they carry the pose of the fitted bounding
+    primitive (see models/mesh.py -- the automated analog of the
+    reference's hand-simplified collision models)."""
+    import numpy as _np
+
+    eye, zero = _np.eye(3), _np.zeros(3)
     for child in geom_el:
         tag = child.tag.rsplit("}", 1)[-1]  # strip any xml namespace
         if tag == "sphere":
-            return GeomType.SPHERE, [float(child.get("radius"))]
+            return GeomType.SPHERE, [float(child.get("radius"))], eye, zero
         if tag == "box":
             size = _floats(child.get("size"))
-            return GeomType.BOX, list(size / 2.0)
+            return GeomType.BOX, list(size / 2.0), eye, zero
         if tag == "capsule":
             return GeomType.CAPSULE, [
                 float(child.get("radius")),
                 float(child.get("length")) / 2.0,
-            ]
+            ], eye, zero
         if tag == "cylinder":
             return GeomType.CYLINDER, [
                 float(child.get("radius")),
                 float(child.get("length")) / 2.0,
-            ]
+            ], eye, zero
         if tag == "mesh":
-            return None  # meshes require simplified collision models
+            if mesh_dir is None:
+                return None  # no way to resolve the mesh file
+            from idto_tpu.models.mesh import mesh_to_primitive
+
+            fname = child.get("filename")
+            scale_attr = child.get("scale")
+            scale = _floats(scale_attr) if scale_attr else None
+            import os
+
+            path = fname if os.path.isabs(fname) else os.path.join(
+                mesh_dir, fname
+            )
+            if not os.path.exists(path):
+                return None
+            return mesh_to_primitive(path, scale=scale)
     return None
 
 
@@ -107,8 +129,14 @@ def parse_urdf_string(
     R_base=None,
     p_base=None,
     gravity_enabled: bool = True,
+    mesh_dir: Optional[str] = None,
 ) -> ModelBuilder:
     """Parse URDF into a ModelBuilder (call ``.finalize()`` for the Model).
+
+    ``mesh_dir`` resolves relative ``<mesh filename=...>`` references; mesh
+    collisions are approximated by fitted bounding primitives
+    (models/mesh.py).  When None (e.g. parsing from a string with no file
+    context), mesh collisions are skipped.
 
     ``floating_base``: if None, root links without a joint to world get a
     floating joint (Drake free-body behavior); True forces it; False welds
@@ -229,17 +257,17 @@ def parse_urdf_string(
 
         # Collision geometry.
         for ci, col in enumerate(link_el.findall("collision")):
-            parsed = _parse_geometry(col.find("geometry"))
+            parsed = _parse_geometry(col.find("geometry"), mesh_dir)
             if parsed is None:
                 continue
-            gtype, params = parsed
+            gtype, params, R_g, p_g = parsed
             R, p = _origin(col.find("origin"))
             builder.add_geometry(
                 pfx(name),
                 gtype,
                 params,
-                R=R,
-                p=p,
+                R=R @ R_g,
+                p=p + R @ p_g,
                 name=pfx(col.get("name", f"{name}_collision_{ci}")),
             )
 
@@ -295,5 +323,8 @@ def _geom_names_of_link(builder: ModelBuilder, link: str) -> list[str]:
 
 
 def parse_urdf_file(path, **kwargs) -> ModelBuilder:
+    import os
+
+    kwargs.setdefault("mesh_dir", os.path.dirname(os.path.abspath(str(path))))
     with open(path) as f:
         return parse_urdf_string(f.read(), **kwargs)
