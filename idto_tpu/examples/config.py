@@ -22,6 +22,7 @@ from idto_tpu.models.kinematics import normalize_quaternions
 from idto_tpu.models.model import Model
 from idto_tpu.optimizer.problem import (
     ConvergenceTolerances,
+    GradientsMethod,
     LinearSolverType,
     LinesearchMethod,
     ProblemDefinition,
@@ -190,17 +191,21 @@ def build_problem(cfg: ExampleConfig, model: Model) -> ProblemDefinition:
 
 def build_solver_params(cfg: ExampleConfig) -> SolverParameters:
     """SetSolverParameters analog (example_base.cc:428-543)."""
-    # Honesty about accepted-but-inapplicable knobs (VERDICT r1 weak #9):
-    # this build always computes EXACT gradients by vmapped jacfwd, and
-    # threading is XLA's concern, so these reference options cannot take
-    # effect -- warn instead of silently dropping them.
-    if cfg.gradients_method not in ("autodiff", "exact"):
+    # Honesty about accepted-but-inapplicable knobs: threading is XLA's
+    # concern, so num_threads cannot take effect -- warn instead of
+    # silently dropping it.
+    gm_name = "autodiff" if cfg.gradients_method == "exact" else (
+        cfg.gradients_method
+    )
+    try:
+        gradients_method = GradientsMethod(gm_name)
+    except ValueError:
         warnings.warn(
-            f"gradients_method={cfg.gradients_method!r} requested; this "
-            "build always uses exact autodiff gradients (FD/CD exist only "
-            "as test oracles in optimizer/gradient_check.py)",
+            f"gradients_method={cfg.gradients_method!r} unknown; using "
+            "exact autodiff",
             ConfigWarning, stacklevel=2,
         )
+        gradients_method = GradientsMethod.AUTODIFF
     if cfg.num_threads != 1:
         warnings.warn(
             f"num_threads={cfg.num_threads} ignored: intra-op parallelism "
@@ -223,6 +228,7 @@ def build_solver_params(cfg: ExampleConfig) -> SolverParameters:
         ),
         max_iterations=cfg.max_iters,
         linear_solver=LinearSolverType(cfg.linear_solver),
+        gradients_method=gradients_method,
         normalize_quaternions=cfg.normalize_quaternions,
         scaling=cfg.scaling,
         scaling_method=ScalingMethod(cfg.scaling_method),

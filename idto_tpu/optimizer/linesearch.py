@@ -19,7 +19,7 @@ from idto_tpu.models.kinematics import normalize_quaternions
 from idto_tpu.ops import penta
 from idto_tpu.optimizer import trajectory
 from idto_tpu.optimizer.hessian import gauss_newton_hessian
-from idto_tpu.optimizer.partials import id_partials, nplus_stack
+from idto_tpu.optimizer.partials import id_partials_for, nplus_stack
 from idto_tpu.optimizer.problem import LinesearchMethod, SolverParameters
 from idto_tpu.optimizer.solver import (
     Solution,
@@ -151,7 +151,7 @@ def solve_linesearch(model, prob, params: SolverParameters, q_guess):
     def prepare(q):
         cost = trajectory.cost(model, prob, contact, q)
         g = trajectory.gradient(model, prob, contact, q)
-        parts = id_partials(model, prob, contact, q)
+        parts = id_partials_for(model, prob, params, q)
         npl = nplus_stack(model, q)
         H = gauss_newton_hessian(model, prob, parts, npl)
         if use_constraints:

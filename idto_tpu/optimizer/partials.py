@@ -72,3 +72,109 @@ def id_partials(
 def nplus_stack(model: Model, q):
     """N^+(q_t) for every knot: (T+1, nv, nq)."""
     return jax.vmap(lambda qq: nplus_matrix(model, qq))(q)
+
+
+# ---------------------------------------------------------------------------
+# Finite-difference partials (reference: GradientsMethod kForwardDifferences /
+# kCentralDifferences / kCentralDifferences4, solver_parameters.h:24-36,
+# CalcInverseDynamicsPartialsFiniteDiff trajectory_optimizer.cc:426-885).
+# Autodiff (id_partials above) is this build's default -- FD/CD exist for
+# parity and as independent numerical cross-checks; they are vmapped over
+# both the horizon and the perturbed coordinate, so unlike the reference's
+# OpenMP loop they still batch onto the TPU.
+# ---------------------------------------------------------------------------
+def _fd_steps(x, eps_pow):
+    """Perturbation sizes eps^pow * max(1, |x|), exactly representable
+    (reference: trajectory_optimizer.cc:506-508)."""
+    eps = jnp.finfo(x.dtype).eps
+    h = eps**eps_pow * jnp.maximum(1.0, jnp.abs(x))
+    return (x + h) - x
+
+
+def _fd_jacs(f, args, argnums, order):
+    """Finite-difference Jacobians of ``f(*args) -> (nv,)`` w.r.t. the
+    selected args; returns a tuple of (nv, nq) arrays.
+
+    order=1: forward differences with step eps^(1/2);
+    order=2: 2nd-order central with step eps^(1/3);
+    order=4: 4th-order central with step eps^(1/5)
+    (step-size exponents per trajectory_optimizer.cc:700-704)."""
+    pow_ = {1: 0.5, 2: 1.0 / 3.0, 4: 0.2}[order]
+    f0 = f(*args) if order == 1 else None
+    jacs = []
+    for an in argnums:
+        x = args[an]
+        h = _fd_steps(x, pow_)
+
+        def col(i, an=an, x=x, h=h):
+            e = jnp.zeros_like(x).at[i].set(1.0)
+            step = h * e
+
+            def at(xx):
+                new = list(args)
+                new[an] = xx
+                return f(*new)
+
+            hi = jnp.sum(step)
+            if order == 1:
+                return (at(x + step) - f0) / hi
+            if order == 2:
+                return (at(x + step) - at(x - step)) / (2.0 * hi)
+            return (
+                -at(x + 2 * step)
+                + 8.0 * at(x + step)
+                - 8.0 * at(x - step)
+                + at(x - 2 * step)
+            ) / (12.0 * hi)
+
+        J = jax.vmap(col)(jnp.arange(x.shape[0]))  # (nq, nv)
+        jacs.append(J.T)
+    return tuple(jacs)
+
+
+def id_partials_fd(
+    model: Model, prob: ProblemDefinition, contact, q, order: int = 1
+) -> IdPartials:
+    """IdPartials by finite differences (same tri-diagonal structure and
+    boundary conventions as :func:`id_partials`)."""
+    dt = prob.dt
+
+    def tau_mid(qm, qt, qp):
+        v_t = qdot_to_v(model, qt, (qt - qm) / dt)
+        v_p = qdot_to_v(model, qp, (qp - qt) / dt)
+        a_t = (v_p - v_t) / dt
+        return step_tau(model, contact, qp, v_p, a_t)
+
+    def tau_first(qt, qp):
+        v_p = qdot_to_v(model, qp, (qp - qt) / dt)
+        a_t = (v_p - prob.v_init) / dt
+        return step_tau(model, contact, qp, v_p, a_t)
+
+    d0t, d0p = _fd_jacs(tau_first, [q[0], q[1]], (0, 1), order)
+
+    if prob.num_steps > 1:
+        dm, dt_, dp = jax.vmap(
+            lambda qm, qt, qp: _fd_jacs(tau_mid, [qm, qt, qp], (0, 1, 2), order)
+        )(q[:-2], q[1:-1], q[2:])
+        dtau_dqm = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], axis=0)
+        dtau_dqt = jnp.concatenate([d0t[None], dt_], axis=0)
+        dtau_dqp = jnp.concatenate([d0p[None], dp], axis=0)
+    else:
+        dtau_dqm = jnp.zeros_like(d0t)[None]
+        dtau_dqt = d0t[None]
+        dtau_dqp = d0p[None]
+    return IdPartials(dtau_dqm, dtau_dqt, dtau_dqp)
+
+
+def id_partials_for(model, prob, params, q) -> IdPartials:
+    """Dispatch on params.gradients_method (static)."""
+    from idto_tpu.optimizer.problem import GradientsMethod
+
+    gm = params.gradients_method
+    if gm == GradientsMethod.FORWARD_DIFFERENCES:
+        return id_partials_fd(model, prob, params.contact, q, order=1)
+    if gm == GradientsMethod.CENTRAL_DIFFERENCES:
+        return id_partials_fd(model, prob, params.contact, q, order=2)
+    if gm == GradientsMethod.CENTRAL_DIFFERENCES4:
+        return id_partials_fd(model, prob, params.contact, q, order=4)
+    return id_partials(model, prob, params.contact, q)

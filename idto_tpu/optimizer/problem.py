@@ -57,6 +57,18 @@ class ScalingMethod(enum.Enum):
     ADAPTIVE_DOUBLE_SQRT = "adaptive_double_sqrt"
 
 
+class GradientsMethod(enum.Enum):
+    """How d(tau)/dq partials are computed (reference:
+    solver_parameters.h:24-36).  AUTODIFF (exact, vmapped jacfwd) is this
+    build's default -- the reference defaults to forward differences only
+    because Drake autodiff re-traces the whole plant."""
+
+    AUTODIFF = "autodiff"
+    FORWARD_DIFFERENCES = "forward_differences"
+    CENTRAL_DIFFERENCES = "central_differences"
+    CENTRAL_DIFFERENCES4 = "central_differences4"
+
+
 class LinearSolverType(enum.Enum):
     PENTA_LU = "pentadiagonal_lu"
     DENSE_LDLT = "dense_ldlt"
@@ -89,6 +101,7 @@ class SolverParameters:
     max_iterations: int = static(default=100)
     max_linesearch_iterations: int = static(default=50)
     linear_solver: LinearSolverType = static(default=LinearSolverType.PENTA_LU)
+    gradients_method: GradientsMethod = static(default=GradientsMethod.AUTODIFF)
     normalize_quaternions: bool = static(default=False)
     exact_hessian: bool = static(default=False)
     scaling: bool = static(default=True)

@@ -29,7 +29,7 @@ from idto_tpu.optimizer.hessian import (
     gauss_newton_hessian,
     gradient_from_partials,
 )
-from idto_tpu.optimizer.partials import id_partials, nplus_stack
+from idto_tpu.optimizer.partials import id_partials_for, nplus_stack
 from idto_tpu.optimizer.problem import (
     ProblemDefinition,
     ScalingMethod,
@@ -275,7 +275,7 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
     )(q[1:], v[1:], a)
     cost = trajectory.cost(model, prob, contact, q, tau=tau, v=v)
 
-    parts = id_partials(model, prob, contact, q)
+    parts = id_partials_for(model, prob, params, q)
     nplus = nplus_stack(model, q)
     g = gradient_from_partials(model, prob, parts, nplus, q, v, tau)
 

@@ -97,3 +97,53 @@ class TestGradientMethodsContact:
         g_cd = cd_gradient(self.model, self.prob, self.params, self.q)
         eps = np.finfo(np.float64).eps
         assert _rel_err(g_cd, g_an) < 10 * np.sqrt(eps)
+
+
+class TestGradientsMethodSolveOption:
+    """gradients_method is a real solve option (reference:
+    solver_parameters.h:24-36), not just a diagnostic: FD/CD partials flow
+    into the gradient and GN Hessian and the solve still converges."""
+
+    def test_fd_partials_match_autodiff(self):
+        from idto_tpu.optimizer.partials import id_partials, id_partials_fd
+        from tests.test_optimizer import pendulum_problem
+
+        model, prob = pendulum_problem(T=8)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from idto_tpu.optimizer.problem import SolverParameters, linear_interp_nominal
+
+        params = SolverParameters()
+        q = jnp.asarray(linear_interp_nominal([0.1], [2.0], prob.num_steps))
+        exact = id_partials(model, prob, params.contact, q)
+        for order, tol in ((1, 1e-6), (2, 1e-9), (4, 1e-11)):
+            fd = id_partials_fd(model, prob, params.contact, q, order=order)
+            for a, b in zip(exact, fd):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=tol,
+                    rtol=tol * 10,
+                )
+
+    def test_swingup_with_fd_gradients(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from idto_tpu.optimizer.problem import (
+            GradientsMethod,
+            SolverParameters,
+            linear_interp_nominal,
+        )
+        from idto_tpu.optimizer.solver import solve_trust_region
+        from tests.test_optimizer import pendulum_problem
+
+        model, prob = pendulum_problem(T=20)
+        params = SolverParameters(
+            max_iterations=20, equality_constraints=False,
+            gradients_method=GradientsMethod.FORWARD_DIFFERENCES,
+        )
+        q_guess = jnp.asarray(
+            linear_interp_nominal([0.1], [0.1], prob.num_steps)
+        )
+        sol, stats, _ = solve_trust_region(model, prob, params, q_guess)
+        assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
