@@ -26,6 +26,11 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")
 def main():
     import jax
 
+    # Honor JAX_PLATFORMS=cpu even under the axon sitecustomize, which
+    # re-pins the platform after the env var is read (the env var alone is
+    # not enough once jax is imported).
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() != "tpu" and "XLA_FLAGS" not in os.environ:
         # allow standalone runs: virtual 8-device CPU mesh
         os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
@@ -73,8 +78,24 @@ def main():
 
     probs, qgs = build(global_batch)
 
-    # 1 device (plain vmap, default placement on device 0).
-    step1 = jax.jit(lambda m, p, prm, qg: solve_batch(m, p, prm, qg)[0].q)
+    # 1 device (plain vmap, default placement on device 0).  Batches past
+    # CHUNK are micro-batched with lax.map -- 4096 concurrent exact-jacfwd
+    # scenarios exceed one chip's HBM (same policy as bench.py).
+    CHUNK = 256
+
+    def one_dev(m, p, prm, qg):
+        B = qg.shape[0]
+        if B <= CHUNK:
+            return solve_batch(m, p, prm, qg)[0].q
+        n = B // CHUNK
+        pc = jax.tree.map(lambda x: x.reshape((n, CHUNK) + x.shape[1:]), p)
+        qc = qg.reshape((n, CHUNK) + qg.shape[1:])
+        q = jax.lax.map(
+            lambda a: solve_batch(m, a[0], prm, a[1])[0].q, (pc, qc)
+        )
+        return q.reshape((B,) + q.shape[2:])
+
+    step1 = jax.jit(one_dev)
     dt1 = measure(step1, (model, probs, params, qgs))
     results["solves_per_s_1dev"] = round(global_batch / dt1, 2)
 
