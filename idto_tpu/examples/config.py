@@ -223,9 +223,7 @@ def build_solver_params(cfg: ExampleConfig) -> SolverParameters:
     )
     return SolverParameters(
         method=SolverMethod(cfg.method),
-        linesearch_method=LinesearchMethod(
-            "armijo" if cfg.linesearch == "armino" else cfg.linesearch
-        ),
+        linesearch_method=LinesearchMethod(cfg.linesearch),
         max_iterations=cfg.max_iters,
         linear_solver=LinearSolverType(cfg.linear_solver),
         gradients_method=gradients_method,

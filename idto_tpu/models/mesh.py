@@ -55,16 +55,13 @@ def load_stl_vertices(path) -> np.ndarray:
             raise ValueError(f"no vertices in ascii STL {path}")
         return np.asarray(verts, dtype=np.float64)
     # Binary STL: 80-byte header, uint32 triangle count, 50 bytes/triangle.
-    (ntri,) = struct.unpack_from("<I", data, 80)
-    verts = np.frombuffer(
-        data, dtype=np.float32, count=ntri * 12, offset=84 + 0
-    )
     # Each 50-byte record: normal (3f), 3 vertices (9f), uint16 attr.  The
-    # stride is not a multiple of 4 floats, so slice per-record.
-    out = np.empty((ntri, 9), dtype=np.float64)
-    for i in range(ntri):
-        off = 84 + i * 50 + 12  # skip normal
-        out[i] = struct.unpack_from("<9f", data, off)
+    # stride is not a multiple of 4 floats, so view the records as raw bytes
+    # and reinterpret the 36-byte vertex slab per record.
+    (ntri,) = struct.unpack_from("<I", data, 80)
+    recs = np.frombuffer(data, dtype=np.uint8, count=ntri * 50, offset=84)
+    recs = recs.reshape(ntri, 50)[:, 12:48]  # skip normal, drop attr
+    out = recs.reshape(-1).view("<f4").astype(np.float64)
     return out.reshape(-1, 3)
 
 
@@ -87,12 +84,17 @@ def fit_sphere(verts: np.ndarray):
     p2 = verts[np.argmax(np.linalg.norm(verts - p1, axis=1))]
     c = 0.5 * (p1 + p2)
     r = 0.5 * np.linalg.norm(p2 - p1)
-    for p in verts:
-        d = np.linalg.norm(p - c)
-        if d > r:
-            r_new = 0.5 * (r + d)
-            c = c + (p - c) * (r_new - r) / d
-            r = r_new
+    # Grow toward the farthest uncovered vertex until all are inside; each
+    # pass is a vectorized distance sweep and r is strictly increasing, so
+    # this terminates (typically a handful of passes).
+    while True:
+        d = np.linalg.norm(verts - c, axis=1)
+        i = int(np.argmax(d))
+        if d[i] <= r + 1e-12 * max(r, 1.0):
+            break
+        r_new = 0.5 * (r + d[i])
+        c = c + (verts[i] - c) * (r_new - r) / d[i]
+        r = r_new
     return c, float(r)
 
 

@@ -195,6 +195,12 @@ def parse_sdf_string(
         X = _pose_of(pose_el)
         rel = pose_el.get("relative_to") if pose_el is not None else None
         if rel and rel not in ("__model__",):
+            if rel not in links:
+                raise ValueError(
+                    f"unsupported SDF pose relative_to target {rel!r} on "
+                    f"link {name!r} (only sibling link names and "
+                    f"'__model__' are supported)"
+                )
             X = _compose(resolve(rel, seen + (name,)), X)
         X_ML[name] = X
         return X
@@ -246,12 +252,25 @@ def parse_sdf_string(
             )
             X_W_canon[name] = X_WC
         else:
-            jt = _JOINT_TYPES[_text(j, "type") or j.get("type")]
+            jtype_name = _text(j, "type") or j.get("type")
+            if jtype_name not in _JOINT_TYPES:
+                raise ValueError(
+                    f"unsupported SDF joint type {jtype_name!r} on joint "
+                    f"{j.get('name')!r} (supported: "
+                    f"{sorted(_JOINT_TYPES)})"
+                )
+            jt = _JOINT_TYPES[jtype_name]
             # SDF: the joint <pose> is relative to the CHILD link frame.
             X_CJ = _pose_of(j.find("pose"))
             X_JC = _inv(X_CJ)
             X_WJ = _compose(X_WC, X_CJ)
             parent = _text(j, "parent", "world")
+            if parent not in X_W_canon:
+                raise ValueError(
+                    f"SDF joint {j.get('name')!r} names parent {parent!r}, "
+                    "which is not a parsed link (frame-name parents are not "
+                    "supported)"
+                )
             X_PJ = _compose(_inv(X_W_canon[parent]), X_WJ)
             axis_el = j.find("axis")
             xyz_el = axis_el.find("xyz") if axis_el is not None else None
@@ -278,8 +297,10 @@ def parse_sdf_string(
             )
             X_W_canon[name] = X_WJ
             # Actuated iff the effort limit is nonzero (Drake convention).
+            # The SDF spec default for an absent <limit><effort> is -1
+            # (unlimited), which Drake maps to an actuated joint.
             limit = axis_el.find("limit") if axis_el is not None else None
-            effort = float(_text(limit, "effort", "0"))
+            effort = float(_text(limit, "effort", "-1"))
             if jt != JointType.FIXED and effort != 0.0:
                 builder.add_actuator(pfx(j.get("name")))
 

@@ -107,6 +107,8 @@ def _parse_geometry(geom_el: ET.Element, mesh_dir: Optional[str] = None):
             from idto_tpu.models.mesh import mesh_to_primitive
 
             fname = child.get("filename")
+            if not fname:
+                return None  # malformed <mesh> with no filename
             scale_attr = child.get("scale")
             scale = _floats(scale_attr) if scale_attr else None
             import os

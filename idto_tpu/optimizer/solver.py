@@ -351,7 +351,7 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
             g_merit.shape
         )
         err = jnp.linalg.norm(p_newton - x_dense) / jnp.maximum(
-            jnp.linalg.norm(x_dense), 1e-300
+            jnp.linalg.norm(x_dense), jnp.finfo(x_dense.dtype).tiny
         )
         jax.debug.print(
             "[debug] sparse vs. dense solve relative error: {e:.3e}", e=err
