@@ -28,8 +28,11 @@ class WarmStart:
     def __init__(self, q, Delta):
         self.q = jnp.asarray(q)
         self.Delta = float(Delta)
-        self.dq = None
-        self.dqH = None
+        # Populated after each solve: the final dogleg step and the final
+        # (unscaled) Newton step (reference exposes both live,
+        # python_bindings/trajectory_optimizer_py.cc:61-68).
+        self.dq = np.zeros_like(np.asarray(q))
+        self.dqH = np.zeros_like(np.asarray(q))
 
     def set_q(self, q):
         self.q = jnp.asarray(q)
@@ -98,6 +101,8 @@ class TrajectoryOptimizer:
         )
         warm_start.q = ws.q
         warm_start.Delta = float(ws.Delta)
+        warm_start.dq = np.asarray(ws.dq)
+        warm_start.dqH = np.asarray(ws.dqH)
         return sol, stats
 
     def ResetInitialConditions(self, q0, v0) -> None:

@@ -40,6 +40,12 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="print the host profiler table "
                              "(reference TableOfAverages)")
+    parser.add_argument("--platform", default=None,
+                        choices=("cpu", "tpu"),
+                        help="force the JAX backend (a machine-level "
+                             "sitecustomize may pin a remote-TPU platform "
+                             "that overrides JAX_PLATFORMS; this flag and "
+                             "the env var both win over it here)")
     parser.add_argument("--playback", default=None, metavar="OUT.html",
                         help="export the solved trajectory as a standalone "
                              "WebGL playback HTML (reference meshcat "
@@ -56,7 +62,19 @@ def main(argv=None):
         print("available examples:", ", ".join(example_names()))
         return 0
 
+    import os
+
     import jax
+
+    # Respect an explicit backend choice.  The env var alone is not enough
+    # when a sitecustomize pre-imports jax with its own platform pin, so
+    # re-apply it through jax.config.  f64 on CPU matches the reference's
+    # double-precision solves; the TPU backend stays f32.
+    platform = args.platform or os.environ.get("JAX_PLATFORMS")
+    if platform:
+        jax.config.update("jax_platforms", platform.lower())
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
     model, cfg, prob, params, q_guess = load_example(
         args.example, test_mode=args.test
@@ -81,7 +99,14 @@ def main(argv=None):
         )
         return 0
 
+    from idto_tpu.optimizer import itimer
     from idto_tpu.optimizer.solver import solve
+    from idto_tpu.optimizer.stats_io import attach_iteration_times
+
+    want_csv = args.stats_csv or (cfg.save_solver_stats_csv and not args.test)
+    if want_csv:
+        # Capture per-iteration wall times for the CSV `time` column.
+        params = params.replace(record_iteration_times=True)
 
     t0 = time.time()
     solve_jit = jax.jit(solve)
@@ -91,10 +116,13 @@ def main(argv=None):
     t_compile = time.time() - t0
 
     t0 = time.time()
+    itimer.reset()
     sol, stats, warm = jax.block_until_ready(
         solve_jit(model, prob, params, q_guess)
     )
     t_solve = time.time() - t0
+    if want_csv:
+        stats = attach_iteration_times(stats)
 
     iters = int(stats.num_iters)
     costs = np.asarray(stats.cost)
@@ -128,7 +156,7 @@ def main(argv=None):
              if reason & bit]
     print(f"convergence:    {'+'.join(names) if names else 'max_iterations'}")
 
-    if args.stats_csv or (cfg.save_solver_stats_csv and not args.test):
+    if want_csv:
         from idto_tpu.optimizer.stats_io import save_stats_csv
 
         path = args.stats_csv or "solver_stats.csv"

@@ -132,6 +132,8 @@ class _LsState(NamedTuple):
     k: jnp.ndarray
     q: jnp.ndarray
     failed: jnp.ndarray
+    dq_last: jnp.ndarray  # last taken step (alpha * dq) for WarmStart.dq
+    dqH_last: jnp.ndarray  # last full Newton step for WarmStart.dqH
     stats: Stats
 
 
@@ -204,15 +206,27 @@ def solve_linesearch(model, prob, params: SolverParameters, q_guess):
             grad_norm=st.grad_norm.at[k].set(jnp.linalg.norm(g)),
             q_norm=st.q_norm.at[k].set(jnp.linalg.norm(s.q)),
             dL_dq=st.dL_dq.at[k].set(jnp.sum(g * dq) / cost),
-            rho=st.rho.at[k].set(alpha),  # alpha recorded in lieu of rho
+            alpha=st.alpha.at[k].set(alpha),
+            ls_iters=st.ls_iters.at[k].set(ls_iters),
             merit=st.merit.at[k].set(cost),
+            # rho (trust ratio) stays NaN: not defined for linesearch mode
+            # (the reference records NaN there too, push_data at :2369).
         )
-        return _LsState(k=k + 1, q=q_new, failed=failed, stats=st)
+        if params.record_iteration_times:
+            from idto_tpu.optimizer import itimer
+
+            jax.debug.callback(itimer.mark, ordered=True)
+        return _LsState(
+            k=k + 1, q=q_new, failed=failed,
+            dq_last=alpha * dq, dqH_last=dq, stats=st,
+        )
 
     init = _LsState(
         k=jnp.zeros((), jnp.int32),
         q=q_guess,
         failed=jnp.zeros((), bool),
+        dq_last=jnp.zeros_like(q_guess),
+        dqH_last=jnp.zeros_like(q_guess),
         stats=_empty_stats(params.max_iterations, dtype),
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -233,5 +247,8 @@ def solve_linesearch(model, prob, params: SolverParameters, q_guess):
     return (
         Solution(q=q, v=v, tau=tau),
         stats,
-        WarmStart(q=q, Delta=jnp.asarray(params.Delta0, dtype)),
+        WarmStart(
+            q=q, Delta=jnp.asarray(params.Delta0, dtype),
+            dq=final.dq_last, dqH=final.dqH_last,
+        ),
     )

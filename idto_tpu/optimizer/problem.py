@@ -124,6 +124,11 @@ class SolverParameters:
     # (enabled on TPU in f32), True/False = force.  The pure-JAX cyclic
     # reduction is used otherwise.
     cr_use_pallas: Optional[bool] = static(default=None)
+    # Capture per-iteration wall times via an ordered host callback so
+    # Stats.time / the solver_stats.csv `time` column can be populated
+    # (reference: TrajectoryOptimizerStats::iteration_times).  Single-
+    # scenario solves only; leave off for batched/vmapped solves.
+    record_iteration_times: bool = static(default=False)
 
 
 def linear_interp_nominal(

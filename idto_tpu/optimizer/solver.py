@@ -81,6 +81,15 @@ class Stats:
     dL_dq: Any = None
     h_norm: Any = None
     merit: Any = None
+    # Reference parity columns (trajectory_optimizer_solution.h:57-185):
+    # per-iteration wall time (host-measured via the ordered iteration-mark
+    # callback when params.record_iteration_times is on -- see
+    # optimizer/itimer.py -- NaN otherwise), linesearch iterations (0 in
+    # trust-region mode, per the reference's push_data call), and the
+    # linesearch step parameter alpha (NaN in trust-region mode).
+    time: Any = None
+    ls_iters: Any = None
+    alpha: Any = None
     solver_flag: Any = None
     convergence_reason: Any = None
 
@@ -88,10 +97,16 @@ class Stats:
 @pytree_dataclass
 class WarmStart:
     """Device-resident carry between MPC re-solves (reference:
-    optimizer/warm_start.h:23-76 persists the state and the trust radius)."""
+    optimizer/warm_start.h:23-76 persists the state and the trust radius).
+    ``dq``/``dqH`` hold the final accepted dogleg step and the final
+    (physical, unscaled) Newton step, matching the introspection fields the
+    reference's python bindings expose
+    (python_bindings/trajectory_optimizer_py.cc:61-68)."""
 
     q: Any = None
     Delta: Any = None
+    dq: Any = None
+    dqH: Any = None
 
 
 class _Prepared(NamedTuple):
@@ -466,6 +481,8 @@ class _LoopState(NamedTuple):
     done: Any
     failed: Any  # factorization failure latch
     D: Any  # previous scale factors (adaptive scaling carry)
+    dq_last: Any  # last dogleg step (physical coords) for WarmStart.dq
+    dqH_last: Any  # last full Newton step (physical coords) for WarmStart.dqH
     stats: Stats
 
 
@@ -494,6 +511,8 @@ def _empty_stats(max_iters, dtype):
         num_iters=jnp.zeros((), jnp.int32),
         cost=nan, delta=nan, rho=nan, q_norm=nan, dq_norm=nan,
         dqH_norm=nan, grad_norm=nan, dL_dq=nan, h_norm=nan, merit=nan,
+        time=nan, alpha=nan,
+        ls_iters=jnp.zeros(max_iters, jnp.int32),
         solver_flag=jnp.zeros((), jnp.int32),
         convergence_reason=jnp.zeros((), jnp.int32),
     )
@@ -570,7 +589,18 @@ def solve_trust_region(
                 jnp.linalg.norm(prep.h) if prep.h.shape[0] else 0.0
             ),
             merit=st.merit.at[k].set(prep.merit),
+            # Trust-region mode: ls_iters = 0, alpha = NaN, exactly as the
+            # reference records them (trajectory_optimizer.cc:2586-2598).
+            # ls_iters is already 0 and alpha already NaN in _empty_stats.
         )
+        if params.record_iteration_times:
+            # Ordered host mark; itimer converts marks to per-iteration
+            # durations (reference measures iter_time at the same point,
+            # trajectory_optimizer.cc:2567-2568).  Single-scenario only --
+            # under vmap the callback would fire once for the whole batch.
+            from idto_tpu.optimizer import itimer
+
+            jax.debug.callback(itimer.mark, ordered=True)
 
         if params.verbose:
             # Live console table (single-scenario solves; under vmap the
@@ -629,6 +659,8 @@ def solve_trust_region(
             done=done,
             failed=jnp.logical_or(s.failed, ~prep.fact_ok),
             D=prep.D,
+            dq_last=dq,
+            dqH_last=prep.D * prep.p_newton,
             stats=st,
         )
 
@@ -654,6 +686,8 @@ def solve_trust_region(
         done=jnp.zeros((), bool) ^ (zb_i > 0),
         failed=jnp.zeros((), bool) ^ (zb_i > 0),
         D=jnp.ones_like(q0) + zb,
+        dq_last=jnp.zeros_like(q0) + zb,
+        dqH_last=jnp.zeros_like(q0) + zb,
         stats=stats0,
     )
     final = jax.lax.while_loop(cond, body, init)
@@ -681,7 +715,9 @@ def solve_trust_region(
         convergence_reason=final.reason,
     )
     solution = Solution(q=q, v=v, tau=tau)
-    warm = WarmStart(q=q, Delta=final.Delta)
+    warm = WarmStart(
+        q=q, Delta=final.Delta, dq=final.dq_last, dqH=final.dqH_last
+    )
     return solution, stats, warm
 
 

@@ -6,23 +6,47 @@ from __future__ import annotations
 import numpy as np
 
 
+def attach_iteration_times(stats):
+    """Fill ``stats.time`` from the itimer marks captured during the last
+    solve (requires ``SolverParameters.record_iteration_times`` and an
+    ``itimer.reset()`` before dispatch).  Returns the updated Stats."""
+    from idto_tpu.optimizer import itimer
+
+    times = itimer.collect()
+    if not times:
+        return stats
+    t = np.full(np.asarray(stats.time).shape, np.nan)
+    n = min(len(times), t.shape[0])
+    t[:n] = times[:n]
+    return stats.replace(time=t)
+
+
 def save_stats_csv(stats, path: str) -> None:
+    """Column-for-column superset of the reference's solver_stats.csv
+    (TrajectoryOptimizerStats::SaveToCsv, trajectory_optimizer_solution.h:
+    160-184: iter, time, cost, ls_iters, alpha, delta, q_norm, dq_norm,
+    dqH_norm, trust_ratio, grad_norm, dL_dq, h_norm, merit)."""
     iters = int(stats.num_iters)
     cols = [
         ("iter", np.arange(iters)),
+        ("time", np.asarray(stats.time)[:iters]),
         ("cost", np.asarray(stats.cost)[:iters]),
-        ("Delta", np.asarray(stats.delta)[:iters]),
-        ("rho", np.asarray(stats.rho)[:iters]),
+        ("ls_iters", np.asarray(stats.ls_iters)[:iters]),
+        ("alpha", np.asarray(stats.alpha)[:iters]),
+        ("delta", np.asarray(stats.delta)[:iters]),
         ("q_norm", np.asarray(stats.q_norm)[:iters]),
         ("dq_norm", np.asarray(stats.dq_norm)[:iters]),
         ("dqH_norm", np.asarray(stats.dqH_norm)[:iters]),
+        ("trust_ratio", np.asarray(stats.rho)[:iters]),
         ("grad_norm", np.asarray(stats.grad_norm)[:iters]),
         ("dL_dq", np.asarray(stats.dL_dq)[:iters]),
         ("h_norm", np.asarray(stats.h_norm)[:iters]),
         ("merit", np.asarray(stats.merit)[:iters]),
     ]
     header = ",".join(name for name, _ in cols)
-    data = np.stack([col for _, col in cols], axis=1)
+    data = np.stack(
+        [np.asarray(col, dtype=np.float64) for _, col in cols], axis=1
+    )
     np.savetxt(path, data, delimiter=",", header=header, comments="")
 
 
