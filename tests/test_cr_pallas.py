@@ -45,6 +45,7 @@ def test_pallas_matches_pure_jax_cr():
     )
 
 
+@pytest.mark.slow
 def test_solver_pallas_path_interpret():
     """solve_trust_region with cr_use_pallas=True (forced; interpreter on
     CPU) reproduces the pendulum swingup oracle in f32."""

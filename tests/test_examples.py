@@ -26,6 +26,7 @@ def test_example_loads(name):
 
 
 @pytest.mark.parametrize("name", example_names())
+@pytest.mark.slow
 def test_example_solves_in_test_mode(name):
     """Every example solves end-to-end in --test smoke mode (10 iterations,
     the reference's per-binary smoke test, example_base.cc:36-45) with
@@ -45,6 +46,7 @@ def test_example_solves_in_test_mode(name):
     assert np.all(np.diff(costs) <= 1e-9), (name, costs)
 
 
+@pytest.mark.slow
 def test_spinner_solve_makes_progress():
     """Open-loop spinner: cost drops by orders of magnitude and the wheel
     turns toward the 2.0 rad target (spinner.yaml q_nom_end)."""
@@ -63,6 +65,7 @@ def test_spinner_solve_makes_progress():
     assert np.abs(tau_wheel).max() < 1.0
 
 
+@pytest.mark.slow
 def test_hopper_test_mode_progress():
     model, cfg, prob, params, q_guess = load_example("hopper", test_mode=True)
     sol, stats, _ = jax.jit(

@@ -18,6 +18,7 @@ def mesh8():
     return make_mesh(8, axis="horizon")
 
 
+@pytest.mark.slow
 def test_sharded_matches_dense_T160(mesh8):
     """The VERDICT-designated oracle: T=160 horizon (161 block rows)."""
     n, k = 161, 3
@@ -56,6 +57,7 @@ def test_sharded_under_jit(mesh8):
     )
 
 
+@pytest.mark.slow
 def test_full_solve_horizon_sharded(mesh8):
     """Sequence-parallel FULL trust-region solve (GSPMD over the horizon)
     matches the unsharded solve on the pendulum swingup at 160 knots.

@@ -1,4 +1,5 @@
 """MPC layer tests: spline store, warm-start shifting, closed-loop sim."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +63,7 @@ class TestSimulator:
 
 
 class TestClosedLoopMpc:
+    @pytest.mark.slow
     def test_pendulum_mpc_runs(self):
         model, prob = pendulum_problem(T=10)
         params = SolverParameters(
@@ -98,6 +100,7 @@ class TestClosedLoopMpc:
 
 
 class TestWarmStartShift:
+    @pytest.mark.slow
     def test_guess_resampled_from_previous_solution(self):
         model, prob = pendulum_problem(T=10)
         params = SolverParameters(

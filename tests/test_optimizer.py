@@ -3,6 +3,7 @@ pendulum swingup end-to-end oracle (reference:
 optimizer/test/trajectory_optimizer_test.cc:434-491 expects convergence to
 |q_T - pi| < 1e-3 within ~20 Gauss-Newton iterations).
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,6 +178,7 @@ class TestPendulumSwingup:
         # improving steps).
         assert np.all(np.diff(valid) <= 1e-9)
 
+    @pytest.mark.slow
     def test_unscaled_also_converges(self):
         model, prob = pendulum_problem()
         params = SolverParameters(
@@ -236,6 +238,7 @@ class TestDenseAndExactHessian:
             np.abs(np.asarray(sol_e.q) - np.asarray(sol.q)).max() < 1e-4
         )
 
+    @pytest.mark.slow
     def test_exact_hessian_matches_ad_of_gradient(self):
         """The dense exact Hessian equals jacfwd of the cost gradient with
         the q_0 block pinned (pendulum: nq == nv, no quaternions, so the

@@ -2,6 +2,7 @@
 CreatePlantModelForSimulation, example_base.h:171 and the hydroelastic sim
 plants of jaco.cc:68-97 etc.): closed-loop MPC evaluated against a plant
 that differs from the one the optimizer plans with."""
+import pytest
 import dataclasses
 
 import jax
@@ -44,6 +45,7 @@ def test_runner_rejects_layout_mismatch():
         raise AssertionError("layout mismatch not rejected")
 
 
+@pytest.mark.slow
 def test_mpc_tracks_through_model_mismatch():
     """Closed-loop MPC where the SIMULATED pendulum is 25% heavier than
     the one the optimizer plans with: the loop must stay finite and still

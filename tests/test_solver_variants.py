@@ -1,6 +1,7 @@
 """Solver configuration variants: the cyclic-reduction linear solver
 end-to-end, the reachable FACTORIZATION_FAILED flag, and adaptive scaling
 (reference: solver_parameters.h:38-72)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +24,7 @@ def _swingup(params, T=20):
 
 
 class TestCyclicReductionSolver:
+    @pytest.mark.slow
     def test_swingup_converges_with_cr(self):
         """Pendulum swingup oracle through LinearSolverType.CYCLIC_REDUCTION
         (same acceptance as the reference's PendulumSwingup,
@@ -37,6 +39,7 @@ class TestCyclicReductionSolver:
         assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
         assert int(stats.solver_flag) != int(SolverFlag.FACTORIZATION_FAILED)
 
+    @pytest.mark.slow
     def test_cr_matches_thomas_trajectory(self):
         """The CR and scan-Thomas paths solve the same linear systems; the
         optimized trajectories must agree to solver tolerance."""
@@ -103,6 +106,7 @@ class TestFactorizationFailure:
 
 
 class TestAdaptiveScaling:
+    @pytest.mark.slow
     def test_adaptive_double_sqrt_converges(self):
         """Adaptive scaling (More 1983 running-min rule,
         solver_parameters.h:47-61) carries D across iterations."""
@@ -115,6 +119,7 @@ class TestAdaptiveScaling:
         sol, stats, _ = _swingup(params)
         assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
 
+    @pytest.mark.slow
     def test_adaptive_sqrt_converges(self):
         params = SolverParameters(
             max_iterations=40,

@@ -1,6 +1,7 @@
 """Velocity-command (joystick-analog) MPC machinery for the mini cheetah
 (reference: python_examples/mini_cheetah_mpc.py:177-229) and the
 quaternion-aware nominal shift (VERDICT r1 item 8)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -93,6 +94,7 @@ class TestQuaternionShift:
         assert d > 1 - 1e-9
 
 
+@pytest.mark.slow
 def test_cheetah_velocity_command_solve_moves_base():
     """One-iteration-capped MPC-style solves against a velocity-command
     nominal actually push the optimized base forward (open-loop analog of

@@ -2,6 +2,7 @@
 python_bindings/test/warm_start_test.py:17-182): solving from a freshly
 created warm start must be IDENTICAL to a direct solve, and the warm-start
 carry (q trajectory + trust radius) round-trips through MPC re-solves."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +36,7 @@ def test_solve_equals_solve_from_warm_start_pendulum():
     assert int(stats_a.num_iters) == int(stats_b.num_iters)
 
 
+@pytest.mark.slow
 def test_warm_start_continues_descent_spinner():
     """Continuing from the returned warm start (state + carried trust
     radius, reference warm_start.h:23-76) picks up where the first solve
