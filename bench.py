@@ -37,17 +37,39 @@ _PEAK_TFLOPS = {
 }
 
 
-def _measure(step, args, iters):
-    import jax
+def _measure_latency(step, args, iters, rtt):
+    """Per-call latency with a REAL device sync each call (the number a
+    controller cares about).  block_until_ready does NOT synchronize on
+    the remote-TPU platform (it implied 15,600 TFLOP/s on a 197-TFLOP/s
+    chip -- see idto_tpu/utils/timing.py), which is why BENCH_r01/r02
+    latency rows were physically impossible; the measured round-trip
+    floor is subtracted instead."""
+    from idto_tpu.utils import timing
 
-    out = jax.block_until_ready(step(*args))  # compile + warm
-    # Steady-state, warm-started on the previous solution like the MPC
-    # loop; each call blocks (a controller cannot act on a solution that
-    # has not materialized).  step returns (q, cost, rho); q warm-starts
-    # the next call.
+    out = step(*args)
+    timing.sync(out)  # compile + warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = step(*args[:-1], out[0])
+        timing.sync(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[len(ts) // 2] - rtt, 0.0), out
+
+
+def _measure_throughput(step, args, iters):
+    """Steady-state throughput: chained warm-started calls (each consumes
+    the previous solution, so call k+1 cannot start before call k's result
+    exists on device), one genuine sync at the end."""
+    from idto_tpu.utils import timing
+
+    out = step(*args)
+    timing.sync(out)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(step(*args[:-1], out[0]))
+        out = step(*args[:-1], out[0])
+    timing.sync(out)
     return (time.perf_counter() - t0) / iters, out
 
 
@@ -104,11 +126,15 @@ def main():
 
     step = jax.jit(batched_q)
 
+    from idto_tpu.utils import timing
+
+    rtt = timing.measure_rtt()
     key = jax.random.PRNGKey(0)
     result = {
         "metric": "mini_cheetah_mpc_solves_per_s",
         "unit": "solves/s",
         "device": dev_kind,
+        "rtt_ms": round(rtt * 1e3, 3),
     }
     flops_per_call = None
     for batch in batches:
@@ -122,7 +148,14 @@ def main():
             + dq[:, None, :]
         )
         iters = (20 if batch <= 256 else 5) if on_tpu else 3
-        dt, out = _measure(step, (model, probs, params, qgs), iters)
+        if batch == 1:
+            dt, out = _measure_latency(
+                step, (model, probs, params, qgs), iters, rtt
+            )
+        else:
+            dt, out = _measure_throughput(
+                step, (model, probs, params, qgs), iters
+            )
 
         # --- output validity: finite and a descent step ---
         q_out, cost0, rho = (np.asarray(x) for x in out)
@@ -154,6 +187,43 @@ def main():
                     )
             except Exception:
                 pass
+
+    # --- full MPC replan latency (warm-start shift + 1-iter solve + spline
+    # store): the per-replan unit the reference budgets 16.7 ms for
+    # (mini_cheetah.yaml controller_frequency: 60).
+    import numpy as _np
+
+    from idto_tpu.mpc.controller import (
+        make_mpc_params,
+        mpc_initialize,
+        mpc_step,
+    )
+
+    mpc_params = make_mpc_params(params, 1)
+    rel = _np.asarray(
+        cfg.q_nom_relative_to_q_init
+        if cfg.q_nom_relative_to_q_init is not None
+        else [False] * model.nq
+    )
+    carry, _ = jax.jit(mpc_initialize)(model, prob, params, q_guess)
+    replan = jax.jit(
+        lambda c, x0, t: mpc_step(model, prob, mpc_params, rel, c, x0, t)
+    )
+    x0 = jnp.concatenate([prob.q_init, prob.v_init])
+    carry, _ = replan(carry, x0, jnp.asarray(0.0, x0.dtype))
+    timing.sync(carry)  # compile + warm
+    replan_ts = []
+    for i in range(10):
+        t0 = time.perf_counter()
+        carry, _ = replan(
+            carry, x0, jnp.asarray(0.016 * (i + 1), x0.dtype)
+        )
+        timing.sync(carry)
+        replan_ts.append(time.perf_counter() - t0)
+    replan_ts.sort()
+    result["mpc_replan_ms"] = round(
+        max(replan_ts[len(replan_ts) // 2] - rtt, 0.0) * 1e3, 3
+    )
 
     big = max(batches)
     headline = result.get(f"solves_per_s_batch{big}")

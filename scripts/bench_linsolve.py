@@ -64,10 +64,18 @@ class CaseTimeout(Exception):
     pass
 
 
+_RTT = [0.0]
+
+
 def timeit(fn, *args, iters=10, budget_s=600):
-    """Compile + time; a SIGALRM budget skips cases whose (remote AOT)
-    compile stalls instead of wedging the whole sweep."""
+    """Compile + time with a REAL device sync per call (block_until_ready
+    does not synchronize on the remote-TPU platform; round-2's artifact
+    recorded physically impossible rows because of it -- see
+    idto_tpu/utils/timing.py).  A SIGALRM budget skips cases whose
+    (remote AOT) compile stalls instead of wedging the whole sweep."""
     import signal
+
+    from idto_tpu.utils import timing
 
     def _raise(signum, frame):
         raise CaseTimeout()
@@ -75,11 +83,16 @@ def timeit(fn, *args, iters=10, budget_s=600):
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(budget_s)
     try:
-        out = jax.block_until_ready(fn(*args))
-        t0 = time.perf_counter()
+        out = fn(*args)
+        timing.sync(out)  # compile + warm
+        ts = []
         for _ in range(iters):
-            out = jax.block_until_ready(fn(*args))
-        return (time.perf_counter() - t0) / iters, out
+            t0 = time.perf_counter()
+            timing.sync(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        dt = max(ts[len(ts) // 2] - _RTT[0], 0.0)
+        return dt, out
     finally:
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
@@ -90,6 +103,10 @@ def main():
 
     enable_compilation_cache()
     from idto_tpu.ops import cr_pallas, cyclic_reduction, penta
+    from idto_tpu.utils import timing
+
+    _RTT[0] = timing.measure_rtt()
+    print(json.dumps({"rtt_ms": round(_RTT[0] * 1e3, 3)}), flush=True)
 
     backend = jax.default_backend()
     dtype = jnp.float32
