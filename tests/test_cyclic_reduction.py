@@ -93,6 +93,65 @@ def test_thomas_condition_sweep_f32():
     _sweep(penta.solve, np.float32, [1e1, 1e2, 1e3, 1e4])
 
 
+def _extreme_system(cond_target, dtype, n=10, k=3, seed=7):
+    rng = np.random.default_rng(seed)
+    N = n * k
+    H0, _ = random_spd_penta(n, k, rng)
+    H0 = jax.tree.map(lambda x: x.astype(dtype), H0)
+    scale = np.power(cond_target, np.linspace(0, 0.5, N))
+    d = jnp.asarray(scale.reshape(n, k), dtype=dtype)
+    H = penta.scale_by_diagonal(H0, d)
+    dense = np.asarray(penta.to_dense(H), dtype=np.float64)
+    x_true = rng.standard_normal(N)
+    b = dense @ x_true
+    return H, dense, x_true, b
+
+
+def _relerr(x, x_true):
+    x = np.asarray(x, dtype=np.float64).ravel()
+    return np.linalg.norm(x - x_true) / np.linalg.norm(x_true)
+
+
+@pytest.mark.parametrize("cond_target", [1e16, 1e18, 1e20])
+def test_condition_sweep_f64_to_1e20(cond_target):
+    """The last six orders of the reference's sweep
+    (penta_diagonal_solver_test.cc:260-319, which runs 1e1 -> 1e20 and
+    only PRINTS the errors): past 1/eps both solvers lose all digits, but
+    they must degrade gracefully -- finite output, and error comparable
+    to what a dense f64 solve produces on the same system."""
+    H, dense, x_true, b = _extreme_system(cond_target, np.float64)
+    bj = jnp.asarray(b.reshape(H.C.shape[0], H.C.shape[1]))
+    err_dense = _relerr(np.linalg.solve(dense, b), x_true)
+    for name, fn in (("thomas", penta.solve),
+                     ("cr", cyclic_reduction.solve)):
+        x = np.asarray(fn(H, bj), dtype=np.float64)
+        assert np.isfinite(x).all(), f"{name} blew up at {cond_target:g}"
+        err = _relerr(x, x_true)
+        # Same-ballpark degradation as dense LU (reference observes the
+        # sparse error tracking the dense error across the whole sweep).
+        assert err <= max(1e3 * err_dense, 1e-9), (
+            name, cond_target, err, err_dense,
+        )
+
+
+@pytest.mark.parametrize("cond_target", [1e5, 1e6])
+def test_cr_f32_high_condition(cond_target):
+    """f32 CR at condition numbers a scaled cheetah GN Hessian can reach:
+    must stay finite and within 100x of the f32 scan-Thomas error on the
+    same system (the solver auto-selects the f32 CR path on TPU)."""
+    H, dense, x_true, b = _extreme_system(cond_target, np.float32)
+    bj = jnp.asarray(b.reshape(H.C.shape[0], H.C.shape[1]),
+                     dtype=jnp.float32)
+    x_th = np.asarray(penta.solve(H, bj), dtype=np.float64)
+    x_cr = np.asarray(cyclic_reduction.solve(H, bj), dtype=np.float64)
+    assert np.isfinite(x_th).all() and np.isfinite(x_cr).all()
+    err_th = _relerr(x_th, x_true)
+    err_cr = _relerr(x_cr, x_true)
+    assert err_cr <= max(100.0 * err_th, 1e-4), (
+        cond_target, err_cr, err_th,
+    )
+
+
 def test_cr_singular_status():
     """A singular diagonal block must be reported, not silently NaN'd
     (reference: PentaDiagonalFactorizationStatus,

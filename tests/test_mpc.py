@@ -99,6 +99,35 @@ class TestClosedLoopMpc:
         assert abs(float(q[0]) - 0.1) > 1e-3
 
 
+class TestSpinnerTracking:
+    @pytest.mark.slow
+    def test_spinner_mpc_tracking_rms(self):
+        """Quantitative closed-loop acceptance on the first contact
+        example: at the shipped 200 Hz replan rate the wheel must follow
+        the 1 rad/s commanded ramp.  Measured on this config: RMS error
+        0.31 rad, max 0.41 rad over 1 s, fingers within 0.32 rad of home
+        -- bounds below leave modest headroom.  (The reference ships the
+        same gains/contact parameters, spinner.yaml:84-93.)"""
+        import dataclasses
+
+        from idto_tpu.mpc.runner import run_mpc
+
+        model, cfg, prob, params, q_guess = load_example("spinner")
+        cfg = dataclasses.replace(cfg, sim_time=1.0)
+        res = run_mpc(model, cfg, prob, params, q_guess)
+        q = res.q_log
+        t = res.times
+        assert np.isfinite(q).all(), "closed loop diverged"
+        cmd = 1.0 * t  # q_nom ramps the wheel at 1 rad/s, q_init-relative
+        err = q[:, 2] - cmd
+        rms = float(np.sqrt(np.mean(err**2)))
+        assert rms < 0.5, f"wheel tracking RMS {rms:.3f} rad"
+        assert float(q[-1, 2]) > 0.6, "wheel did not follow the ramp"
+        assert np.abs(q[:, :2] - q[0, :2]).max() < 1.0, (
+            "finger excursion unbounded"
+        )
+
+
 class TestWarmStartShift:
     @pytest.mark.slow
     def test_guess_resampled_from_previous_solution(self):

