@@ -97,34 +97,34 @@ def main():
     # jitted graph lets the validity assertions below reuse the timed
     # executable instead of compiling a second one per batch shape.
     #
-    # Batches beyond CHUNK are micro-batched with lax.map: the exact-jacfwd
-    # GN iteration holds ~11 MB of HBM temps per scenario, so 4096
-    # concurrent scenarios exceed a single chip's HBM; 256-wide chunks
-    # saturate the MXU while the sequential sweep keeps residency flat.
+    # Batches beyond CHUNK are micro-batched from the HOST: independent
+    # back-to-back dispatches of the same CHUNK-wide executable pipeline on
+    # the device while keeping HBM residency flat (one chunk's exact-jacfwd
+    # temps live at a time).  Round 2 used an in-graph lax.map sweep, which
+    # serializes the chunks inside one executable AND forbids overlap --
+    # measured 5.4x slower per solve than the direct 256-batch.
     CHUNK = 256
 
-    def batched_q(m, p, prm, qg):
+    def chunk_q(m, p, prm, qg):
+        sol, stats, warm = solve_batch(m, p, prm, qg)
+        return sol.q, stats.cost[:, 0], stats.rho[:, 0]
+
+    chunk_jit = jax.jit(chunk_q)
+
+    def step(m, p, prm, qg):
         B = qg.shape[0]
         if B <= CHUNK:
-            sol, stats, warm = solve_batch(m, p, prm, qg)
-            return sol.q, stats.cost[:, 0], stats.rho[:, 0]
+            return chunk_jit(m, p, prm, qg)
         n = B // CHUNK
-        pc = jax.tree.map(
-            lambda x: x.reshape((n, CHUNK) + x.shape[1:]), p
-        )
-        qc = qg.reshape((n, CHUNK) + qg.shape[1:])
-
-        def one(args):
-            pp, qq = args
-            sol, stats, warm = solve_batch(m, pp, prm, qq)
-            return sol.q, stats.cost[:, 0], stats.rho[:, 0]
-
-        q, c, r = jax.lax.map(one, (pc, qc))
-        return (
-            q.reshape((B,) + q.shape[2:]), c.reshape(-1), r.reshape(-1)
-        )
-
-    step = jax.jit(batched_q)
+        outs = []
+        for i in range(n):
+            sl = slice(i * CHUNK, (i + 1) * CHUNK)
+            pc = jax.tree.map(lambda x: x[sl], p)
+            outs.append(chunk_jit(m, pc, prm, qg[sl]))
+        q = jnp.concatenate([o[0] for o in outs], axis=0)
+        c = jnp.concatenate([o[1] for o in outs], axis=0)
+        r = jnp.concatenate([o[2] for o in outs], axis=0)
+        return q, c, r
 
     from idto_tpu.utils import timing
 
@@ -170,13 +170,18 @@ def main():
             result[f"solves_per_s_batch{batch}"] = round(batch / dt, 2)
         if batch == max(batches):
             try:
+                # FLOPs from the CHUNK-wide executable's XLA cost analysis
+                # (the unit the host loop dispatches n-times per step).
+                cw = min(batch, CHUNK)
+                pc = jax.tree.map(lambda x: x[:cw], probs)
                 cost = (
-                    step.lower(model, probs, params, qgs)
+                    chunk_jit.lower(model, pc, params, qgs[:cw])
                     .compile()
                     .cost_analysis()
                 )
-                flops_per_call = float(cost.get("flops", 0.0))
-                result["flops_per_solve"] = round(flops_per_call / batch)
+                chunk_flops = float(cost.get("flops", 0.0))
+                flops_per_call = chunk_flops * (batch // cw)
+                result["flops_per_solve"] = round(chunk_flops / cw)
                 result["measured_tflops"] = round(
                     flops_per_call / dt / 1e12, 3
                 )

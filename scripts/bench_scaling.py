@@ -66,11 +66,15 @@ def main():
         return probs, qgs
 
     def measure(fn, args, iters=5):
-        out = jax.block_until_ready(fn(*args))
+        # Genuine device sync per batch (block_until_ready does not
+        # synchronize on the remote-TPU platform; idto_tpu/utils/timing.py).
+        from idto_tpu.utils import timing
+
+        timing.sync(fn(*args))  # compile + warm
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = jax.block_until_ready(fn(*args))
-        del out
+            out = fn(*args)
+        timing.sync(out)
         return (time.perf_counter() - t0) / iters
 
     results = {"device": jax.devices()[0].device_kind, "n_devices": n_dev,
