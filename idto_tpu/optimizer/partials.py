@@ -38,6 +38,94 @@ class IdPartials(NamedTuple):
 def id_partials(
     model: Model, prob: ProblemDefinition, contact, q
 ) -> IdPartials:
+    """Exact partials via the explicit chain rule.
+
+    Only the explicit q_{t+1}-dependence (FK, gravity, contact geometry)
+    needs forward-mode AD through the kinematics tower; the v- and
+    a-dependence is differentiated with FK-free tangents (ID is linear in
+    a, and body velocities are linear in v), and the q_t / q_{t-1} blocks
+    assemble analytically from M = dID/da and Cv = dID/dv -- the same
+    structure the reference exploits in its "analytic tail"
+    (trajectory_optimizer.cc:552-561, dtau_{t+1}/dq_t = M N^+ / dt^2).
+    This cuts the heavy tangent axis from 3nq to nq, which is the
+    difference between HBM-traffic-bound and compute-bound on TPU: every
+    FK intermediate in the jacfwd graph carries the tangent axis.
+
+    With w(q) := N^+(q) applied to a finite difference,
+      dtau/dq_{t+1} = Gq + (Cv + M/dt) Vp_p
+      dtau/dq_t     = (Cv + M/dt) Vp_t - (M/dt) Vt_t
+      dtau/dq_{t-1} =              (M/dt) N^+(q_t)/dt
+    where Gq = dID/dq_{t+1} at fixed (v, a), Vp_p = d v_{t+1}/d q_{t+1},
+    Vp_t = -N^+(q_{t+1})/dt, Vt_t = d v_t/d q_t (the N^+ product-rule
+    terms are only nonzero for quaternion blocks).
+    """
+    dt = prob.dt
+
+    def step_blocks(qt, qp, v_t):
+        """(M, Cv, Gq, Vp_p, Npp, Npt) at one step; v_t is the already-
+        computed previous velocity (constant wrt this step's AD)."""
+        v_p = qdot_to_v(model, qp, (qp - qt) / dt)
+        a_t = (v_p - v_t) / dt
+        # Explicit q-part: FK/gravity/contact-geometry tangents only
+        # (v_p, a_t frozen) -- the ONLY jacfwd through the FK tower.
+        Gq = jax.jacfwd(
+            lambda qq: step_tau(model, contact, qq, v_p, a_t)
+        )(qp)
+        # v/a parts: tangents never enter FK (linear-in-v velocities,
+        # linear-in-a wrenches), so these are cheap despite 2*nv tangents.
+        Cv, M = jax.jacfwd(
+            lambda vv, aa: step_tau(model, contact, qp, vv, aa),
+            argnums=(0, 1),
+        )(v_p, a_t)
+        Vp_p = jax.jacfwd(
+            lambda qq: qdot_to_v(model, qq, (qq - qt) / dt)
+        )(qp)
+        Npp = nplus_matrix(model, qp)
+        Npt = nplus_matrix(model, qt)
+        return M, Cv, Gq, Vp_p, Npp, Npt
+
+    def parts_mid(qm, qt, qp):
+        v_t = qdot_to_v(model, qt, (qt - qm) / dt)
+        M, Cv, Gq, Vp_p, Npp, Npt = step_blocks(qt, qp, v_t)
+        Vt_t = jax.jacfwd(
+            lambda qq: qdot_to_v(model, qq, (qq - qm) / dt)
+        )(qt)
+        CvM = Cv + M / dt
+        dqp = Gq + CvM @ Vp_p
+        dqt = CvM @ (-Npp / dt) - (M / dt) @ Vt_t
+        dqm = (M / dt) @ (Npt / dt)
+        return dqm, dqt, dqp
+
+    def parts_first(qt, qp):
+        M, Cv, Gq, Vp_p, Npp, _ = step_blocks(qt, qp, prob.v_init)
+        CvM = Cv + M / dt
+        d0p = Gq + CvM @ Vp_p
+        d0t = CvM @ (-Npp / dt)  # v_0 = v_init is constant
+        return d0t, d0p
+
+    # t = 0 (no q_{t-1} dependence).
+    d0t, d0p = parts_first(q[0], q[1])
+
+    # t = 1..T-1, vmapped over the horizon.
+    if prob.num_steps > 1:
+        dm, dt_, dp = jax.vmap(parts_mid)(q[:-2], q[1:-1], q[2:])
+        dtau_dqm = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], axis=0)
+        dtau_dqt = jnp.concatenate([d0t[None], dt_], axis=0)
+        dtau_dqp = jnp.concatenate([d0p[None], dp], axis=0)
+    else:
+        dtau_dqm = jnp.zeros_like(d0t)[None]
+        dtau_dqt = d0t[None]
+        dtau_dqp = d0p[None]
+    return IdPartials(dtau_dqm, dtau_dqt, dtau_dqp)
+
+
+def id_partials_full_jacfwd(
+    model: Model, prob: ProblemDefinition, contact, q
+) -> IdPartials:
+    """Reference implementation: one jacfwd over the full (q_{t-1}, q_t,
+    q_{t+1}) triplet (3nq tangents through the whole FK tower).  Kept as
+    the correctness oracle for :func:`id_partials`; not used in the hot
+    path."""
     dt = prob.dt
 
     def tau_mid(qm, qt, qp):

@@ -18,11 +18,15 @@ def test_example_loads(name):
     assert prob.v_init.shape == (model.nv,)
     assert prob.q_nom.shape == (prob.num_steps + 1, model.nq)
     assert q_guess.shape == (prob.num_steps + 1, model.nq)
-    # Cost and gradient evaluate finite.
+    # Cost evaluates finite for every example; the (compile-heavy)
+    # gradient only for a feature-representative subset in the fast tier
+    # (fixed base / contact / floating+quaternion / dual-arm SDF); the
+    # full solve sweep in the slow tier covers gradients for the rest.
     L = trajectory.cost(model, prob, params.contact, q_guess)
     assert np.isfinite(float(L))
-    g = trajectory.gradient(model, prob, params.contact, q_guess)
-    assert np.all(np.isfinite(np.asarray(g)))
+    if name in ("pendulum", "spinner", "hopper", "mini_cheetah"):
+        g = trajectory.gradient(model, prob, params.contact, q_guess)
+        assert np.all(np.isfinite(np.asarray(g)))
 
 
 @pytest.mark.parametrize("name", example_names())

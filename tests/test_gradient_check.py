@@ -80,6 +80,7 @@ class TestGradientMethodsContact:
         q[0] = np.asarray(q_guess[0])
         self.q = jnp.asarray(q)
 
+    @pytest.mark.slow
     def test_fd_matches_analytic_with_contact(self):
         g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
         g_fd = fd_gradient(self.model, self.prob, self.params, self.q)
@@ -92,6 +93,7 @@ class TestGradientMethodsContact:
         # the FD tier is relaxed accordingly.
         assert _rel_err(g_fd, g_an) < 1e-5
 
+    @pytest.mark.slow
     def test_cd_matches_analytic_with_contact(self):
         g_an = analytic_gradient(self.model, self.prob, self.params, self.q)
         g_cd = cd_gradient(self.model, self.prob, self.params, self.q)
@@ -104,6 +106,7 @@ class TestGradientsMethodSolveOption:
     solver_parameters.h:24-36), not just a diagnostic: FD/CD partials flow
     into the gradient and GN Hessian and the solve still converges."""
 
+    @pytest.mark.slow
     def test_fd_partials_match_autodiff(self):
         from idto_tpu.optimizer.partials import id_partials, id_partials_fd
         from tests.test_optimizer import pendulum_problem
@@ -147,3 +150,40 @@ class TestGradientsMethodSolveOption:
         )
         sol, stats, _ = solve_trust_region(model, prob, params, q_guess)
         assert abs(float(sol.q[-1, 0]) - np.pi) < 1e-3
+
+
+class TestChainRulePartials:
+    """The production id_partials (explicit chain rule: Gq + (Cv + M/dt)
+    structure, nq-tangent jacfwd only through FK) must match the full
+    3nq-tangent jacfwd oracle exactly -- including through contact and
+    quaternion floating bases."""
+
+    @pytest.mark.parametrize("name", [
+        "spinner",
+        pytest.param("mini_cheetah", marks=pytest.mark.slow),
+    ])
+    def test_matches_full_jacfwd(self, name):
+        from idto_tpu.examples.registry import load_example
+        from idto_tpu.optimizer.partials import (
+            id_partials,
+            id_partials_full_jacfwd,
+        )
+
+        model, cfg, prob, params, q_guess = load_example(
+            name, test_mode=True
+        )
+        T = 3
+        prob = prob.replace(
+            num_steps=T, q_nom=prob.q_nom[: T + 1], v_nom=prob.v_nom[: T + 1]
+        )
+        rng = np.random.default_rng(1)
+        q = jnp.asarray(
+            np.asarray(q_guess[: T + 1])
+            + 0.01 * rng.standard_normal((T + 1, model.nq))
+        )
+        a = id_partials(model, prob, params.contact, q)
+        b = id_partials_full_jacfwd(model, prob, params.contact, q)
+        for f in ("dtau_dqm", "dtau_dqt", "dtau_dqp"):
+            x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+            scale = max(1.0, np.abs(y).max())
+            np.testing.assert_allclose(x, y, rtol=0, atol=1e-12 * scale)

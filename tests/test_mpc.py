@@ -57,8 +57,10 @@ class TestSimulator:
         q, v = jnp.array([1.5]), jnp.array([0.0])
         c = ContactParams()
         h = 1e-3
+        step = jax.jit(lambda qq, vv: sim_step(model, c, h, qq, vv,
+                                               jnp.zeros(1)))
         for _ in range(100):
-            q, v = sim_step(model, c, h, q, v, jnp.zeros(1))
+            q, v = step(q, v)
         assert np.isfinite(float(q[0])) and abs(float(q[0])) < 1.6
 
 

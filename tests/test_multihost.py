@@ -36,6 +36,7 @@ def test_mesh_rejects_indivisible_sp():
         multihost.make_global_mesh(sp=3)
 
 
+@pytest.mark.slow
 def test_solve_batch_global_matches_vmap():
     """Global scenario-sharded solve == plain vmap on the same batch."""
     model, cfg, prob, params, q_guess = load_example("spinner",

@@ -421,6 +421,7 @@ class TestConstraintJacobianVsAutodiff:
         J = self._check(model, prob, contact, q)
         assert J.shape[0] == T
 
+    @pytest.mark.slow
     def test_hopper(self):
         from idto_tpu.examples.registry import get_example
 

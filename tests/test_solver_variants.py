@@ -132,6 +132,7 @@ class TestAdaptiveScaling:
 
 
 class TestVerboseAndDebugOutput:
+    @pytest.mark.slow
     def test_verbose_prints_iteration_table(self, capfd):
         """params.verbose must emit a live per-iteration console table
         (reference: trajectory_optimizer.cc:2486-2492, 2570-2583)."""
@@ -146,6 +147,7 @@ class TestVerboseAndDebugOutput:
         rows = [l for l in out.splitlines() if l.strip().startswith(("0 ", "1 ", "2 ", "3 ", "4 ")) or l.split("|")[0].strip().isdigit()]
         assert len(rows) >= 5
 
+    @pytest.mark.slow
     def test_debug_compare_against_dense(self, capfd):
         """debug_compare_against_dense cross-checks each sparse solve against
         dense LU (reference: trajectory_optimizer.cc:2142-2150) -- the
