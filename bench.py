@@ -38,24 +38,23 @@ _PEAK_TFLOPS = {
 
 
 def _measure_latency(step, args, iters, rtt):
-    """Per-call latency with a REAL device sync each call (the number a
-    controller cares about).  block_until_ready does NOT synchronize on
-    the remote-TPU platform (it implied 15,600 TFLOP/s on a 197-TFLOP/s
-    chip -- see idto_tpu/utils/timing.py), which is why BENCH_r01/r02
-    latency rows were physically impossible; the measured round-trip
-    floor is subtracted instead."""
+    """Per-solve latency via a chained-dependency run: each call consumes
+    the previous call's solution, so the device serializes them; ONE final
+    sync (and one subtracted round-trip) amortizes the tunnel RTT over all
+    iters.  Per-call syncing would be swamped by the ~30 ms tunnel RTT for
+    a sub-millisecond solve.  (block_until_ready does NOT synchronize on
+    the remote-TPU platform -- it implied 15,600 TFLOP/s on a 197-TFLOP/s
+    chip, see idto_tpu/utils/timing.py -- which is why BENCH_r01/r02
+    latency rows were physically impossible.)"""
     from idto_tpu.utils import timing
 
     out = step(*args)
     timing.sync(out)  # compile + warm
-    ts = []
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         out = step(*args[:-1], out[0])
-        timing.sync(out)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return max(ts[len(ts) // 2] - rtt, 0.0), out
+    timing.sync(out)
+    return max(time.perf_counter() - t0 - rtt, 0.0) / iters, out
 
 
 def _measure_throughput(step, args, iters):
@@ -147,7 +146,8 @@ def main():
             jnp.broadcast_to(q_guess, (batch,) + q_guess.shape)
             + dq[:, None, :]
         )
-        iters = (20 if batch <= 256 else 5) if on_tpu else 3
+        iters = (50 if batch == 1 else 20 if batch <= 256 else 5) \
+            if on_tpu else 3
         if batch == 1:
             dt, out = _measure_latency(
                 step, (model, probs, params, qgs), iters, rtt
@@ -217,17 +217,16 @@ def main():
     x0 = jnp.concatenate([prob.q_init, prob.v_init])
     carry, _ = replan(carry, x0, jnp.asarray(0.0, x0.dtype))
     timing.sync(carry)  # compile + warm
-    replan_ts = []
-    for i in range(10):
-        t0 = time.perf_counter()
+    # Chained-dependency latency (carry feeds the next replan; one sync).
+    n_replans = 30
+    t0 = time.perf_counter()
+    for i in range(n_replans):
         carry, _ = replan(
             carry, x0, jnp.asarray(0.016 * (i + 1), x0.dtype)
         )
-        timing.sync(carry)
-        replan_ts.append(time.perf_counter() - t0)
-    replan_ts.sort()
+    timing.sync(carry)
     result["mpc_replan_ms"] = round(
-        max(replan_ts[len(replan_ts) // 2] - rtt, 0.0) * 1e3, 3
+        max(time.perf_counter() - t0 - rtt, 0.0) / n_replans * 1e3, 3
     )
 
     big = max(batches)
