@@ -87,6 +87,15 @@ def main():
     params = params.replace(max_iterations=1, check_convergence=False)
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        # Measured crossover (BENCH_LINSOLVE.json): the fused Pallas
+        # cyclic-reduction solve is 3-4x scan-Thomas for batched T<=40
+        # f32 systems -- the benchmark's exact regime.
+        from idto_tpu.optimizer.problem import LinearSolverType
+
+        params = params.replace(
+            linear_solver=LinearSolverType.CYCLIC_REDUCTION
+        )
     dev_kind = jax.devices()[0].device_kind
     batches = (1, 256, 4096) if on_tpu else (1, 8)
 

@@ -17,10 +17,18 @@ Algorithm (identical math to ops/cyclic_reduction.py):
     pivoting), halving the system;
   * solve the final 1-row system, then back-substitute level by level.
 
-Constraints: f32 (TPU), and the whole working set must fit VMEM -- fine
-for every reference horizon (T <= 40) and up to T ~ 500 at cheetah block
-sizes; ops/cyclic_reduction.py is the fallback beyond.  On non-TPU
-backends the kernel runs in interpreter mode (used by the CPU test suite).
+Constraints: f32 (TPU), and the whole working set must fit VMEM.
+Measured on TPU v5e at cheetah block size k=19 (BENCH_LINSOLVE.json,
+genuine-sync timing): batched solves run 3-4x faster than the scan-Thomas
+sweep at T = 20-40 (e.g. 10.2 ms vs 41.9 ms at T=40, batch 64) -- every
+reference horizon config.  The kernel body is fully unrolled at trace
+time (log2 levels x K-step Gauss-Jordan), so Mosaic compile time blows up
+past ~64 packed super-rows (T ~ 126): the solver's auto policy
+(optimizer/solver.py:_use_pallas) falls back to ops/cyclic_reduction.py
+there, which itself beats Thomas ~1.8x at T=160 batch 64.  At batch 1 the
+sequential scan-Thomas wins; the auto policy is only engaged for the
+CYCLIC_REDUCTION solver choice.  On non-TPU backends the kernel runs in
+interpreter mode (used by the CPU test suite).
 """
 from __future__ import annotations
 

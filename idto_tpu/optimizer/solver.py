@@ -179,14 +179,23 @@ def _use_cr(params: SolverParameters) -> bool:
     )
 
 
-def _use_pallas(params: SolverParameters, dtype) -> bool:
-    """Static: use the fused Pallas cyclic-reduction kernel.  Auto policy:
-    on for the TPU backend in f32 (the kernel's native regime); the
-    pure-JAX reduction everywhere else.  `params.cr_use_pallas` forces."""
+def _use_pallas(params: SolverParameters, dtype, n_rows=None) -> bool:
+    """Static: use the fused Pallas cyclic-reduction kernel.  Auto policy
+    (measured crossover, BENCH_LINSOLVE.json, k=19 f32 on TPU v5e):
+    batched solves at T<=40 run 3-4x faster than scan-Thomas in the fused
+    kernel; past ~64 packed super-rows (T ~ 126) the fully-unrolled Mosaic
+    kernel's compile time blows up, so the pure-JAX reduction takes over
+    (1.8x over Thomas at T=160, batch 64).  `params.cr_use_pallas`
+    forces."""
     if not _use_cr(params):
         return False
     if params.cr_use_pallas is not None:
         return params.cr_use_pallas
+    if n_rows is not None:
+        m = (n_rows + 1) // 2  # packed super-rows (ops/cyclic_reduction)
+        mpow = 1 << max(m - 1, 0).bit_length()
+        if mpow > 64:
+            return False
     return jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
@@ -195,7 +204,7 @@ def _sparse_factorize(params, Hs):
     the kernel fuses reduction + application per launch (reusing a
     factorization across launches would round-trip every level through
     HBM, which is exactly what the fused kernel avoids)."""
-    if _use_pallas(params, Hs.C.dtype):
+    if _use_pallas(params, Hs.C.dtype, Hs.n):
         return Hs
     if _use_cr(params):
         return cyclic_reduction.factorize(Hs)
@@ -213,7 +222,7 @@ def _lin_solve(params, factor, rhs):
         # under jit a Cholesky of an indefinite matrix silently yields NaNs.
         x = jax.scipy.linalg.lu_solve(factor, rhs.reshape(-1))
         return x.reshape(rhs.shape)
-    if _use_pallas(params, rhs.dtype):
+    if _use_pallas(params, rhs.dtype, rhs.shape[-2]):
         from idto_tpu.ops import cr_pallas
 
         return cr_pallas.solve_many(factor, rhs[None])[0]
@@ -227,7 +236,7 @@ def _lin_solve_many(params, factor, rhs_stack):
     Pallas path amortizes one fused factorization over all R columns in a
     single kernel launch (used by the equality-constraint Schur solve,
     reference: trajectory_optimizer.cc:1371-1396)."""
-    if _use_pallas(params, rhs_stack.dtype):
+    if _use_pallas(params, rhs_stack.dtype, rhs_stack.shape[-2]):
         from idto_tpu.ops import cr_pallas
 
         return cr_pallas.solve_many(factor, rhs_stack)
@@ -382,7 +391,7 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
     # A singular block yields inf/nan in the stored factors and/or in the
     # Newton step; both are checked so the dense-LU path (finite factors,
     # zero pivot) is covered too.
-    if _use_dense(params) or _use_pallas(params, q.dtype):
+    if _use_dense(params) or _use_pallas(params, q.dtype, q.shape[0]):
         # Dense LU: finite factors even for singular inputs (zero pivot);
         # Pallas: the 'factor' is the band matrix itself.  Both are covered
         # by the Newton-step finiteness check below.

@@ -78,7 +78,10 @@ def timeit(fn, *args, iters=10, budget_s=600):
     from idto_tpu.utils import timing
 
     def _raise(signum, frame):
-        raise CaseTimeout()
+        raise CaseTimeout(
+            f"compile/run exceeded the {budget_s}s per-case budget "
+            "(Mosaic compile time blows up past ~64 packed super-rows)"
+        )
 
     old = signal.signal(signal.SIGALRM, _raise)
     signal.alarm(budget_s)
