@@ -123,6 +123,7 @@ def main():
         B = qg.shape[0]
         if B <= CHUNK:
             return chunk_jit(m, p, prm, qg)
+        assert B % CHUNK == 0, f"batch {B} must divide CHUNK {CHUNK}"
         n = B // CHUNK
         outs = []
         for i in range(n):

@@ -37,6 +37,19 @@ def main(argv=None):
                              "displacement sol.q - q_guess (reference "
                              "lineplot dumps sweep the last search "
                              "direction instead)")
+    parser.add_argument("--quadratic-csv", default=None,
+                        help="write per-iteration quadratic-model data "
+                             "(reference quadratic_data.csv, "
+                             "trajectory_optimizer.cc:1759-1795)")
+    parser.add_argument("--linesearch-csv", default=None,
+                        help="write the linesearch residual sweep over "
+                             "alpha in [-0.2, 1.2] along the final Newton "
+                             "direction (reference SaveLinesearchResidual, "
+                             "trajectory_optimizer.cc:1797-1835)")
+    parser.add_argument("--print-debug-data", action="store_true",
+                        help="print per-iteration Hessian condition "
+                             "numbers (reference print_debug_data, "
+                             "trajectory_optimizer.cc:2499-2507)")
     parser.add_argument("--profile", action="store_true",
                         help="print the host profiler table "
                              "(reference TableOfAverages)")
@@ -104,9 +117,6 @@ def main(argv=None):
     from idto_tpu.optimizer.stats_io import attach_iteration_times
 
     want_csv = args.stats_csv or (cfg.save_solver_stats_csv and not args.test)
-    if want_csv:
-        # Capture per-iteration wall times for the CSV `time` column.
-        params = params.replace(record_iteration_times=True)
 
     t0 = time.time()
     solve_jit = jax.jit(solve)
@@ -116,12 +126,24 @@ def main(argv=None):
     t_compile = time.time() - t0
 
     t0 = time.time()
-    itimer.reset()
     sol, stats, warm = jax.block_until_ready(
         solve_jit(model, prob, params, q_guess)
     )
     t_solve = time.time() - t0
+
     if want_csv:
+        # Separate pass with per-iteration callback timing for the CSV
+        # `time` column: the ordered callbacks add a host round-trip per
+        # iteration, so they must not contaminate the timed t_solve above
+        # (each duration also carries that transport floor -- see
+        # itimer.collect).
+        params_rec = params.replace(record_iteration_times=True)
+        solve_rec = jax.jit(solve)
+        # Warm the recorded executable first so iteration 0's duration is
+        # not the compile time, then capture a clean window.
+        jax.block_until_ready(solve_rec(model, prob, params_rec, q_guess))
+        itimer.reset()
+        jax.block_until_ready(solve_rec(model, prob, params_rec, q_guess))
         stats = attach_iteration_times(stats)
 
     iters = int(stats.num_iters)
@@ -178,6 +200,37 @@ def main(argv=None):
             jax.numpy.asarray(direction), args.lineplot_csv,
         )
         print(f"lineplot data written to {args.lineplot_csv}")
+
+    if args.quadratic_csv:
+        from idto_tpu.optimizer.debug_dump import save_quadratic_csv
+
+        save_quadratic_csv(
+            model, prob, params, q_guess, args.quadratic_csv, n_iters=iters
+        )
+        print(f"quadratic-model data written to {args.quadratic_csv}")
+
+    if args.linesearch_csv:
+        from idto_tpu.optimizer.debug_dump import (
+            save_linesearch_residual_csv,
+        )
+
+        # Sweep along the final Newton direction at the solved iterate --
+        # the post-mortem direction the reference dumps on linesearch
+        # failure (trajectory_optimizer.cc:2315-2326).
+        save_linesearch_residual_csv(
+            model, prob, params, sol.q, warm.dqH, args.linesearch_csv,
+        )
+        print(f"linesearch residual written to {args.linesearch_csv}")
+
+    if args.print_debug_data:
+        from idto_tpu.optimizer.debug_dump import (
+            print_condition_numbers,
+            replay_iterations,
+        )
+
+        for r in replay_iterations(model, prob, params, q_guess, iters):
+            print(f"iter {r.k}:")
+            print_condition_numbers(r)
 
     if args.playback:
         import os

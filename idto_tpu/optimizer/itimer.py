@@ -28,8 +28,14 @@ _t0: Optional[float] = None
 
 
 def reset() -> None:
-    """Start a capture window: clear marks, timestamp the solve start."""
+    """Start a capture window: clear marks, timestamp the solve start.
+
+    Drains pending debug-callback deliveries first so late marks from an
+    earlier (e.g. warm-up) solve cannot land inside the new window."""
     global _t0
+    import jax
+
+    jax.effects_barrier()
     _marks.clear()
     _t0 = time.perf_counter()
 
@@ -46,6 +52,13 @@ def collect() -> List[float]:
     Durations are successive differences of the marks, with the first
     iteration measured from reset().  Empty if reset() was never called or
     no iterations ran.
+
+    Transport-latency floor: every duration includes one ordered-callback
+    round-trip (host<->device; ~30 ms on the remote-TPU tunnel, see
+    utils/timing.py), and the first also includes host dispatch of the
+    whole jitted call.  The values upper-bound iteration compute -- they
+    are NOT comparable to the reference's in-process iteration_times when
+    the RTT dominates.
     """
     if _t0 is None or not _marks:
         return []

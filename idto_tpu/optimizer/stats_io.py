@@ -10,8 +10,14 @@ def attach_iteration_times(stats):
     """Fill ``stats.time`` from the itimer marks captured during the last
     solve (requires ``SolverParameters.record_iteration_times`` and an
     ``itimer.reset()`` before dispatch).  Returns the updated Stats."""
+    import jax
+
     from idto_tpu.optimizer import itimer
 
+    # debug.callback delivery is asynchronous and block_until_ready does not
+    # imply the callbacks have flushed (on the remote-TPU platform it does
+    # not even imply execution finished); drain them before reading marks.
+    jax.effects_barrier()
     times = itimer.collect()
     if not times:
         return stats

@@ -6,7 +6,39 @@ makes every repeat run (tests, bench, MPC restarts) start hot.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _machine_key() -> str:
+    """Fingerprint of the host that makes cache entries machine-specific.
+
+    XLA:CPU ahead-of-time entries are compiled for the *build host's* CPU
+    features; loading them on a different machine fails per-entry (observed
+    in the round-3 multichip dryrun: cpu_aot_loader errors spamming the log
+    while every large graph recompiled anyway).  Keying the cache directory
+    by CPU model + feature flags + jax version means cross-machine runs
+    miss cleanly instead of failing entry-by-entry."""
+    parts = [platform.machine(), platform.processor()]
+    try:
+        seen = set()
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "flags") and key not in seen:
+                    seen.add(key)  # one core is enough; all cores identical
+                    parts.append(line.strip())
+                if len(seen) == 2:
+                    break
+    except OSError:
+        pass
+    try:
+        import jax
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
@@ -14,9 +46,10 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
-    cache_dir = path or os.environ.get(
+    base = path or os.environ.get(
         "IDTO_COMPILE_CACHE", os.path.expanduser("~/.cache/idto_tpu_xla")
     )
+    cache_dir = os.path.join(base, _machine_key())
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -40,10 +40,26 @@ def _probe_jit(leaf):
     return jnp.sum(flat).astype(jnp.float32)
 
 
+@jax.jit
+def _probe_all_jit(leaves):
+    # One executable consuming a scalar from EVERY leaf: the read-back
+    # cannot complete until all producing dispatches have executed, so this
+    # is a valid barrier even for pytrees assembled from several
+    # independent dispatches (e.g. host-side chunk concatenation).
+    return sum(
+        jnp.sum(jnp.ravel(l)[:1]).astype(jnp.float32) for l in leaves
+    )
+
+
 def sync(out) -> float:
-    """Block until ``out`` (any pytree of arrays) is actually computed."""
-    leaf = jax.tree.leaves(out)[0]
-    return float(_probe(leaf))
+    """Block until ``out`` (any pytree of arrays) is actually computed.
+
+    Probes a reduction over ALL leaves, so it is a correct barrier even
+    when the leaves come from independent dispatches."""
+    leaves = jax.tree.leaves(out)
+    if len(leaves) == 1:
+        return float(_probe(leaves[0]))
+    return float(_probe_all_jit(leaves))
 
 
 def measure_rtt(reps: int = 20) -> float:

@@ -103,6 +103,7 @@ def main():
         B = qg.shape[0]
         if B <= CHUNK:
             return chunk1(m, p, prm, qg)
+        assert B % CHUNK == 0, f"batch {B} must divide CHUNK {CHUNK}"
         outs = []
         for i in range(B // CHUNK):
             sl = slice(i * CHUNK, (i + 1) * CHUNK)

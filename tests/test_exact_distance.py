@@ -158,3 +158,146 @@ class TestBoxBoxExact:
             GeomType.BOX, [0.5, 0.5, 0.5], I3, [0.0, 0.0, 0.95],
         )
         np.testing.assert_allclose(float(phi), -0.05, atol=1e-9)
+
+
+class TestConvexPairs:
+    """Round-4 pairs (VERDICT r3 Missing #3): box-halfspace,
+    cylinder-halfspace, box-cylinder, cylinder-cylinder."""
+
+    def test_box_halfspace_tilted(self):
+        """Unit box tilted 45 deg about x above the z=0 plane: the deepest
+        corner hangs sqrt(2)/2 below the center."""
+        Ra = rpy_to_rot_np([np.pi / 4, 0.0, 0.0])
+        c = 1.0
+        expected = c - np.sqrt(2) / 2
+        phi, n, wa, wb = sd(
+            GeomType.BOX, [0.5, 0.5, 0.5], Ra, [0.0, 0.0, c],
+            GeomType.HALFSPACE, [0.0, 0.0, 0.0], I3, [0.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), expected, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(n), [0, 0, -1], atol=1e-12)
+        np.testing.assert_allclose(float(np.asarray(wa)[2]), expected,
+                                   atol=1e-12)
+        np.testing.assert_allclose(float(np.asarray(wb)[2]), 0.0, atol=1e-12)
+
+    def test_box_halfspace_penetrating(self):
+        phi, *_ = sd(
+            GeomType.BOX, [0.5, 0.5, 0.5], I3, [0.0, 0.0, 0.3],
+            GeomType.HALFSPACE, [0.0, 0.0, 0.0], I3, [0.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), -0.2, atol=1e-12)
+
+    def test_cylinder_halfspace_tilted(self):
+        """Cylinder (r=0.2, h=0.5) tilted 30 deg: deepest rim point at
+        c_z - h cos(th) - r sin(th)."""
+        th = np.pi / 6
+        Ra = rpy_to_rot_np([th, 0.0, 0.0])
+        c = 1.0
+        expected = c - 0.5 * np.cos(th) - 0.2 * np.sin(th)
+        phi, n, wa, wb = sd(
+            GeomType.CYLINDER, [0.2, 0.5, 0.0], Ra, [0.0, 0.0, c],
+            GeomType.HALFSPACE, [0.0, 0.0, 0.0], I3, [0.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), expected, atol=1e-12)
+
+    def test_cylinder_halfspace_flat(self):
+        """Upright cylinder: phi = center height - half length; holds on
+        both sides of contact."""
+        for c, want in ((1.0, 0.5), (0.4, -0.1)):
+            phi, *_ = sd(
+                GeomType.CYLINDER, [0.2, 0.5, 0.0], I3, [0.0, 0.0, c],
+                GeomType.HALFSPACE, [0.0, 0.0, 0.0], I3, [0.0, 0.0, 0.0],
+            )
+            np.testing.assert_allclose(float(phi), want, atol=1e-12)
+
+    def test_box_cylinder_axis_aligned(self):
+        """Upright cylinder beside a box: radial gap is exact."""
+        # Box half (0.5,0.5,0.5) at origin; cylinder r=0.3 h=0.5 at x=1.5.
+        phi, n, wa, wb = sd(
+            GeomType.BOX, [0.5, 0.5, 0.5], I3, [0.0, 0.0, 0.0],
+            GeomType.CYLINDER, [0.3, 0.5, 0.0], I3, [1.5, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), 1.5 - 0.5 - 0.3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n)[0], 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wa)[0], 0.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(wb)[0], 1.2, atol=1e-5)
+
+    def test_box_cylinder_cap_above(self):
+        """Cylinder cap face above a box top face (parallel planes)."""
+        phi, n, *_ = sd(
+            GeomType.CYLINDER, [0.3, 0.5, 0.0], I3, [0.0, 0.0, 1.4],
+            GeomType.BOX, [1.0, 1.0, 0.5], I3, [0.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), 1.4 - 0.5 - 0.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n)[2], -1.0, atol=1e-4)
+
+    def test_box_cylinder_penetrating_cap(self):
+        """Cap pressed into the box top: negative phi equals overlap."""
+        phi, n, *_ = sd(
+            GeomType.CYLINDER, [0.3, 0.5, 0.0], I3, [0.0, 0.0, 0.9],
+            GeomType.BOX, [1.0, 1.0, 0.5], I3, [0.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), -0.1, atol=1e-9)
+
+    def test_cylinder_cylinder_parallel(self):
+        """Parallel upright cylinders: gap = center distance - radii."""
+        phi, n, wa, wb = sd(
+            GeomType.CYLINDER, [0.3, 0.5, 0.0], I3, [0.0, 0.0, 0.0],
+            GeomType.CYLINDER, [0.2, 0.5, 0.0], I3, [1.0, 0.0, 0.0],
+        )
+        np.testing.assert_allclose(float(phi), 0.5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(n)[0], 1.0, atol=1e-4)
+
+    def test_cylinder_cylinder_crossed(self):
+        """Crossed cylinders (one rotated 90 deg about x): the closest
+        features are A's flat TOP CAP (z = 0.5) and B's lowest barrel
+        line (z = 1 - r = 0.8) -- flat caps, so the gap is 0.3, NOT the
+        capsule-style axis-axis distance minus radii."""
+        Rb = rpy_to_rot_np([np.pi / 2, 0.0, 0.0])
+        phi, *_ = sd(
+            GeomType.CYLINDER, [0.2, 0.5, 0.0], I3, [0.0, 0.0, 0.0],
+            GeomType.CYLINDER, [0.2, 0.5, 0.0], Rb, [0.0, 0.0, 1.0],
+        )
+        np.testing.assert_allclose(float(phi), 0.3, atol=1e-5)
+
+    def test_gradients_match_fd(self):
+        """Pose gradients through the alternating-projection witnesses and
+        the halfspace support points match central finite differences
+        (envelope theorem)."""
+        cases = [
+            (GeomType.BOX, jnp.asarray([0.5, 0.5, 0.5]),
+             jnp.asarray(rpy_to_rot_np([0.3, 0.2, 0.1])),
+             GeomType.CYLINDER, jnp.asarray([0.3, 0.5, 0.0]),
+             jnp.asarray(rpy_to_rot_np([0.1, -0.2, 0.4])),
+             jnp.asarray([1.4, 0.3, 0.2])),
+            (GeomType.CYLINDER, jnp.asarray([0.2, 0.5, 0.0]),
+             jnp.asarray(rpy_to_rot_np([0.5, 0.0, 0.0])),
+             GeomType.CYLINDER, jnp.asarray([0.3, 0.4, 0.0]),
+             jnp.asarray(rpy_to_rot_np([0.0, 0.6, 0.0])),
+             jnp.asarray([1.1, 0.4, 0.3])),
+            (GeomType.BOX, jnp.asarray([0.5, 0.4, 0.3]),
+             jnp.asarray(rpy_to_rot_np([0.3, 0.2, 0.1])),
+             GeomType.HALFSPACE, jnp.zeros(3),
+             jnp.asarray(np.eye(3)), jnp.asarray([0.0, 0.0, -1.2])),
+            (GeomType.CYLINDER, jnp.asarray([0.2, 0.5, 0.0]),
+             jnp.asarray(rpy_to_rot_np([0.4, 0.3, 0.0])),
+             GeomType.HALFSPACE, jnp.zeros(3),
+             jnp.asarray(np.eye(3)), jnp.asarray([0.0, 0.0, -1.2])),
+        ]
+        for ta, pa, Ra, tb, pb, Rb, xb in cases:
+            def phi_of(x):
+                return signed_distance(
+                    ta, pa, Ra, x, tb, pb, Rb, xb + x * 0.0
+                )[0]
+
+            x0 = jnp.zeros(3, jnp.float64) if tb != GeomType.HALFSPACE \
+                else jnp.asarray([0.0, 0.0, 0.0], jnp.float64)
+            g = jax.grad(phi_of)(x0)
+            h = 1e-6
+            for k in range(3):
+                e = jnp.zeros(3, jnp.float64).at[k].set(h)
+                fd = (phi_of(x0 + e) - phi_of(x0 - e)) / (2 * h)
+                np.testing.assert_allclose(
+                    float(g[k]), float(fd), atol=2e-4,
+                    err_msg=f"pair ({ta}, {tb}) dof {k}",
+                )
