@@ -180,13 +180,13 @@ def _use_cr(params: SolverParameters) -> bool:
 
 
 def _use_pallas(params: SolverParameters, dtype, n_rows=None) -> bool:
-    """Static: use the fused Pallas cyclic-reduction kernel.  Auto policy
-    (measured crossover, BENCH_LINSOLVE.json, k=19 f32 on TPU v5e):
-    batched solves at T<=40 run 3-4x faster than scan-Thomas in the fused
-    kernel; past ~64 packed super-rows (T ~ 126) the fully-unrolled Mosaic
-    kernel's compile time blows up, so the pure-JAX reduction takes over
-    (1.8x over Thomas at T=160, batch 64).  `params.cr_use_pallas`
-    forces."""
+    """Static: use the FULLY-fused Pallas cyclic-reduction kernel (every
+    level VMEM-resident).  Auto policy (measured crossover,
+    BENCH_LINSOLVE.json, k=19 f32 on TPU v5e): batched solves at T<=40 run
+    3-4x faster than scan-Thomas in the fused kernel; past 64 packed
+    super-rows (T ~ 126) the working set outgrows VMEM, so the HYBRID path
+    takes over (_hybrid_tail_rows: XLA levels down to 64 super-rows, one
+    fused kernel for the deep tail).  `params.cr_use_pallas` forces."""
     if not _use_cr(params):
         return False
     if params.cr_use_pallas is not None:
@@ -199,6 +199,20 @@ def _use_pallas(params: SolverParameters, dtype, n_rows=None) -> bool:
     return jax.default_backend() == "tpu" and dtype == jnp.float32
 
 
+def _hybrid_tail_rows(params: SolverParameters, dtype) -> int:
+    """Static: tail size for the hybrid CR factorization on long horizons
+    (ops/cyclic_reduction.factorize(tail_rows=...)).  The deep levels of
+    the reduction are tiny and launch-latency-bound; fusing everything at
+    or below 64 super-rows into one Pallas launch removes ~log2(64) = 6
+    levels of HBM round-trips while the wide levels stay in XLA where
+    bandwidth dominates anyway.  1 disables the tail (pure-XLA CR)."""
+    if params.cr_use_pallas is False:
+        return 1
+    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+        return 64
+    return 1
+
+
 def _sparse_factorize(params, Hs):
     """For the Pallas path the 'factorization' is the band matrix itself:
     the kernel fuses reduction + application per launch (reusing a
@@ -207,7 +221,9 @@ def _sparse_factorize(params, Hs):
     if _use_pallas(params, Hs.C.dtype, Hs.n):
         return Hs
     if _use_cr(params):
-        return cyclic_reduction.factorize(Hs)
+        return cyclic_reduction.factorize(
+            Hs, tail_rows=_hybrid_tail_rows(params, Hs.C.dtype)
+        )
     return penta.factorize(Hs)
 
 

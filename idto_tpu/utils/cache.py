@@ -62,3 +62,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # older jax without these flags
+    try:
+        # Do NOT persist XLA-level sub-caches: XLA:CPU AOT kernel entries
+        # record compile OPTIONS (prefer-no-scatter/gather) as machine
+        # features, so the loader rejects them with per-entry errors even
+        # on the machine that compiled them -- observed spamming the
+        # round-3 driver dryrun log.  The JAX-level executable cache is
+        # what saves the 30-120 s solve compiles; losing the XLA kernel
+        # sub-cache costs little.
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
