@@ -189,3 +189,65 @@ class TestSoaContact:
         np.testing.assert_allclose(
             np.asarray(tau_s).T, np.asarray(tau_a), atol=1e-8, err_msg=name
         )
+
+
+ROLLOUT_MODELS = ["pendulum", "spinner", "mini_cheetah"]
+
+
+@pytest.mark.parametrize("name", ROLLOUT_MODELS)
+class TestSoaRolloutPartials:
+    def _setup(self, name, B=3, seed=11):
+        from idto_tpu.examples.registry import load_example
+
+        model, cfg, prob, params, q_guess = load_example(name)
+        rng = np.random.default_rng(seed)
+        qs = np.asarray(q_guess)[None] + 0.02 * rng.standard_normal(
+            (B,) + q_guess.shape
+        )
+        return model, prob, params, jnp.asarray(qs)
+
+    def test_rollout_parity(self, name):
+        from idto_tpu.optimizer import trajectory as traj_aos
+        from idto_tpu.soa import rollout as roll_soa
+
+        model, prob, params, qs = self._setup(name)
+        v_a = jax.vmap(lambda q: traj_aos.velocities(model, prob, q))(qs)
+        v_s = roll_soa.velocities(model, prob, qs)
+        np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_a),
+                                   atol=1e-10, err_msg=name)
+        tau_a = jax.vmap(
+            lambda q: traj_aos.generalized_forces(
+                model, prob, params.contact, q
+            )
+        )(qs)
+        tau_s, _ = roll_soa.generalized_forces(model, prob, params.contact, qs)
+        np.testing.assert_allclose(np.asarray(tau_s), np.asarray(tau_a),
+                                   atol=1e-8, err_msg=name)
+        L_a = jax.vmap(
+            lambda q: traj_aos.cost(model, prob, params.contact, q)
+        )(qs)
+        L_s = roll_soa.cost(model, prob, params.contact, qs)
+        np.testing.assert_allclose(np.asarray(L_s), np.asarray(L_a),
+                                   rtol=1e-10, err_msg=name)
+
+    def test_partials_parity(self, name):
+        from idto_tpu.optimizer.partials import id_partials as idp_aos
+        from idto_tpu.optimizer.partials import nplus_stack as nps_aos
+        from idto_tpu.soa.partials import (
+            id_partials_batched,
+            nplus_stack_batched,
+        )
+
+        model, prob, params, qs = self._setup(name)
+        pa = jax.vmap(
+            lambda q: idp_aos(model, prob, params.contact, q)
+        )(qs)
+        ps = id_partials_batched(model, prob, params.contact, qs)
+        for fa, fs, lbl in zip(pa, ps, ("dqm", "dqt", "dqp")):
+            np.testing.assert_allclose(
+                np.asarray(fs), np.asarray(fa), atol=2e-8,
+                err_msg=f"{name}:{lbl}",
+            )
+        na = jax.vmap(lambda q: nps_aos(model, q))(qs)
+        ns = nplus_stack_batched(model, qs)
+        np.testing.assert_allclose(np.asarray(ns), np.asarray(na), atol=1e-12)
