@@ -317,6 +317,20 @@ def _prepare(model, prob, params: SolverParameters, q, D_prev=None) -> _Prepared
 
     parts = id_partials_for(model, prob, params, q)
     nplus = nplus_stack(model, q)
+    return _prepare_from_physics(
+        model, prob, params, q, D_prev, cost, v, tau, parts, nplus
+    )
+
+
+def _prepare_from_physics(
+    model, prob, params: SolverParameters, q, D_prev, cost, v, tau, parts,
+    nplus,
+) -> _Prepared:
+    """The linear-algebra tail of :func:`_prepare`: gradient/Hessian
+    assembly, scaling, factorization, constraint Schur solve, and the
+    Newton/Cauchy steps, from already-evaluated physics quantities.  Split
+    out so the batch-native solve (optimizer/batched.py) can feed SoA
+    rollouts/partials in and vmap only this cheap tail."""
     g = gradient_from_partials(model, prob, parts, nplus, q, v, tau)
 
     if D_prev is None:

@@ -27,11 +27,32 @@ from idto_tpu.optimizer.problem import ProblemDefinition, SolverParameters
 from idto_tpu.optimizer.solver import solve_trust_region
 
 
-def solve_batch(model: Model, probs: ProblemDefinition, params, q_guesses):
+def solve_batch(
+    model: Model,
+    probs: ProblemDefinition,
+    params,
+    q_guesses,
+    native: Optional[bool] = None,
+):
     """Batched solve: ``probs`` has a leading scenario axis on its array
     leaves (q_init, v_init, q_nom, v_nom, and optionally the weights);
     q_guesses is (B, T+1, nq).  Returns batched (Solution, Stats, WarmStart).
-    """
+
+    ``native=None`` (default) auto-selects the batch-native SoA solve
+    (optimizer/batched.py) whenever the configuration supports it -- same
+    results, but the physics runs with the scenario axis on the TPU vector
+    lanes instead of vmapped per-scenario layouts.  ``native=False`` forces
+    the vmapped per-scenario path (the reference implementation the native
+    path is pinned against)."""
+    from idto_tpu.optimizer.batched import (
+        can_solve_batched_native,
+        solve_trust_region_batched,
+    )
+
+    if native is None:
+        native = can_solve_batched_native(model, params)
+    if native:
+        return solve_trust_region_batched(model, probs, params, q_guesses)
     return jax.vmap(
         lambda prob, qg: solve_trust_region(model, prob, params, qg)
     )(probs, q_guesses)

@@ -29,20 +29,22 @@ from idto_tpu.models.rotations import quat_rate_matrix, quat_to_rot
 from idto_tpu.soa import mat3
 
 
-def _skew_static(axes):
-    """(g, 3) static numpy axes -> (3, 3, g) skew matrices (numpy)."""
-    g = axes.shape[0]
-    K = np.zeros((3, 3, g))
-    K[0, 1], K[0, 2] = -axes[:, 2], axes[:, 1]
-    K[1, 0], K[1, 2] = axes[:, 2], -axes[:, 0]
-    K[2, 0], K[2, 1] = -axes[:, 1], axes[:, 0]
-    return K
+def _skew(axes):
+    """(g, 3) axes (possibly traced -- model.axis is a pytree leaf and the
+    model may be a jit argument) -> (3, 3, g) skew matrices."""
+    ax, ay, az = axes[:, 0], axes[:, 1], axes[:, 2]
+    zero = jnp.zeros_like(ax)
+    return jnp.stack([
+        jnp.stack([zero, -az, ay], axis=0),
+        jnp.stack([az, zero, -ax], axis=0),
+        jnp.stack([-ay, ax, zero], axis=0),
+    ], axis=0)
 
 
-def _axis_angle(axes_np, angles):
-    """Static (g, 3) axes, (g, N) angles -> (3, 3, g, N) rotations."""
+def _axis_angle(axes, angles):
+    """(g, 3) axes (traced or numpy), (g, N) angles -> (3, 3, g, N)."""
     dtype = angles.dtype
-    K = jnp.asarray(_skew_static(axes_np), dtype=dtype)[..., None]  # (3,3,g,1)
+    K = _skew(jnp.asarray(axes, dtype=dtype))[..., None]  # (3,3,g,1)
     KK = mat3.mul(K, K)
     c = jnp.cos(angles)[None, None]  # (1, 1, g, N)
     s = jnp.sin(angles)[None, None]
@@ -71,13 +73,13 @@ def local_transforms(model: Model, q):
             p_g = jnp.zeros((3, g, N), dtype=dtype)
         elif jt == JointType.REVOLUTE:
             angles = q[qs]  # (g, N)
-            R_g = _axis_angle(np.asarray(model.axis)[np.asarray(js)], angles)
+            R_g = _axis_angle(jnp.asarray(model.axis)[np.asarray(js)], angles)
             p_g = jnp.zeros((3, g, N), dtype=dtype)
         elif jt == JointType.PRISMATIC:
             disp = q[qs]  # (g, N)
             ax = jnp.asarray(
-                np.asarray(model.axis)[np.asarray(js)].T, dtype=dtype
-            )[:, :, None]  # (3, g, 1)
+                model.axis, dtype=dtype
+            )[np.asarray(js)].T[:, :, None]  # (3, g, 1)
             R_g = jnp.broadcast_to(
                 jnp.eye(3, dtype=dtype)[:, :, None, None], (3, 3, g, N)
             )

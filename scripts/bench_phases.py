@@ -172,7 +172,46 @@ def main():
         t = time_fn(jt_roll, inputs_q, args.reps)
         row["rollout_ms"] = round(t * 1e3, 3)
 
+        # --- batch-native SoA path (optimizer/batched.py): the scenario
+        # axis rides the vector lanes instead of vmapped per-scenario
+        # layouts.  *_native rows are directly comparable to the rows
+        # above (same algorithm, same shapes).
+        from idto_tpu.optimizer.batched import (
+            can_solve_batched_native,
+            solve_trust_region_batched,
+        )
+        from idto_tpu.soa import partials as soa_partials
+        from idto_tpu.soa import rollout as soa_rollout
+
+        if can_solve_batched_native(model, params):
+            def full_native(p, q):
+                sol, stats, warm = solve_trust_region_batched(
+                    model, p, params, q
+                )
+                return sol.q, stats.cost[:, 0]
+
+            t = time_fn(jax.jit(full_native), inputs_q, args.reps)
+            row["full_step_native_ms"] = round(t * 1e3, 3)
+
+            jt_parts_n = jax.jit(
+                lambda p, q: soa_partials.id_partials_batched(
+                    model, p, params.contact, q
+                )
+            )
+            t = time_fn(jt_parts_n, inputs_q, args.reps)
+            row["partials_native_ms"] = round(t * 1e3, 3)
+
+            jt_roll_n = jax.jit(
+                lambda p, q: soa_rollout.cost(model, p, params.contact, q)
+            )
+            t = time_fn(jt_roll_n, inputs_q, args.reps)
+            row["rollout_native_ms"] = round(t * 1e3, 3)
+
         row["per_solve_us_full"] = round(row["full_step_ms"] / B * 1e3, 2)
+        if "full_step_native_ms" in row:
+            row["per_solve_us_native"] = round(
+                row["full_step_native_ms"] / B * 1e3, 2
+            )
         results["phases"].append(row)
         print(json.dumps(row))
 

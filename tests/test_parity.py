@@ -604,3 +604,152 @@ class TestGoldenRegressions:
         n = int(stats.num_iters)
         np.testing.assert_allclose(
             np.asarray(stats.cost)[:n], d["cost"][:n], rtol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Scaling invariances of the constrained trust-region machinery
+# ---------------------------------------------------------------------------
+class TestEqualityConstraintsAndScaling:
+    """Mirrors the reference's EqualityConstraintsAndScaling test
+    (trajectory_optimizer_test.cc:1637-1753): on the hopper with the
+    fake trajectory q[t] = q0 + t*dt*v0, diagonal scaling must leave the
+    Lagrange multipliers, the merit function, and the trust ratio
+    invariant, and the scaled merit gradient must equal D * (g + J^T lam).
+    The reference checks these through its Eval* cache; here they pin the
+    scaled Schur-complement solve in solver._prepare against the unscaled
+    dense formula."""
+
+    def _setup(self):
+        from idto_tpu.examples.registry import get_example
+
+        model = get_example("hopper").build().finalize()
+        T, dt = 5, 1e-2
+        q0 = np.array([0.0, 0.6, 0.3, -0.5, 0.2])
+        v0 = np.array([1.0, -0.2, 0.1, -0.3, 0.4])
+        prob = _toy_problem(
+            model, T, dt, q0, v0, Qq=0.1, Qv=0.2, Qf_q=0.3, Qf_v=0.4,
+            R=0.01, q_nom=(0.5, 0.5, 0.3, -0.4, 0.1),
+            v_nom=(0.01, 0.0, 0.2, 0.1, -0.1),
+        )
+        q = jnp.asarray(
+            q0[None, :] + dt * v0[None, :] * np.arange(T + 1)[:, None]
+        )
+        base = SolverParameters(equality_constraints=True, scaling=False)
+        scaled = base.replace(scaling=True)
+        return model, prob, q, base, scaled
+
+    def test_multipliers_merit_gradient_invariant(self):
+        model, prob, q, params_u, params_s = self._setup()
+        prep_u = _prepare(model, prob, params_u, q)
+        prep_s = _prepare(model, prob, params_s, q)
+
+        # Lagrange multipliers: scaled Schur solve == unscaled == the
+        # dense formula lam = (J H^-1 J^T)^-1 (h - J H^-1 g)
+        # (reference :1722-1734).
+        np.testing.assert_allclose(
+            np.asarray(prep_u.lam), np.asarray(prep_s.lam),
+            rtol=1e-9, err_msg="lambda must be scaling-invariant",
+        )
+        parts = id_partials(model, prob, params_u.contact, q)
+        npl = nplus_stack(model, q)
+        from idto_tpu.optimizer.hessian import gauss_newton_hessian
+
+        Hd = penta.to_dense(gauss_newton_hessian(model, prob, parts, npl))
+        g = gradient_from_partials(
+            model, prob, parts, npl, q,
+            trajectory.velocities(model, prob, q),
+            trajectory.generalized_forces(model, prob, params_u.contact, q),
+        ).reshape(-1)
+        unact = model.unactuated_vdofs
+        J = _constraint_jacobian_dense(
+            model, prob, parts, unact, q.dtype
+        ).reshape(prep_u.lam.shape[0], -1)
+        Hinv_g = np.linalg.solve(np.asarray(Hd), np.asarray(g))
+        Hinv_JT = np.linalg.solve(np.asarray(Hd), np.asarray(J).T)
+        S = np.asarray(J) @ Hinv_JT
+        lam_dense = np.linalg.solve(
+            S, np.asarray(prep_u.h) - np.asarray(J) @ Hinv_g
+        )
+        np.testing.assert_allclose(
+            np.asarray(prep_u.lam), lam_dense, rtol=1e-7,
+            err_msg="lambda must match the dense Schur formula",
+        )
+
+        # Merit is scaling-invariant (reference :1737-1741).
+        np.testing.assert_allclose(
+            float(prep_u.merit), float(prep_s.merit), rtol=1e-12
+        )
+        # Scaled merit gradient: gm_scaled = D * gm (reference :1743-1748;
+        # unscaled prep has D = 1 so prep_u.g_merit IS g + J^T lam).
+        np.testing.assert_allclose(
+            np.asarray(prep_s.D * prep_u.g_merit),
+            np.asarray(prep_s.g_merit), rtol=1e-9, atol=1e-12,
+        )
+
+    def test_trust_ratio_invariant(self):
+        """rho computed in scaled coordinates equals rho in physical
+        coordinates for the same physical step (reference :1750-1762:
+        'trust ratio should be the same with and without scaling')."""
+        model, prob, q, params_u, params_s = self._setup()
+        prep_u = _prepare(model, prob, params_u, q)
+        prep_s = _prepare(model, prob, params_s, q)
+
+        # The same PHYSICAL step in both coordinate systems: the unscaled
+        # Newton step (D_u = 1 so p_newton is physical).
+        dq = prep_u.p_newton
+        dq_scaled = dq / prep_s.D
+
+        def rho_of(prep, step_scaled):
+            merit_try, _ = _merit_at(
+                model, prob, params_u, q + prep.D * step_scaled, prep.lam
+            )
+            predicted = -float(
+                jnp.sum(prep.g_merit * step_scaled)
+                + 0.5 * jnp.sum(step_scaled * penta.matvec(
+                    prep.H, step_scaled))
+            )
+            return (float(prep.merit) - float(merit_try)) / predicted
+
+        rho_u = rho_of(prep_u, dq)
+        rho_s = rho_of(prep_s, dq_scaled)
+        assert rho_u > 0.6, f"degenerate test point (rho={rho_u})"
+        np.testing.assert_allclose(rho_u, rho_s, rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# UpdateNominalTrajectory behavior through the pyidto-analog API
+# ---------------------------------------------------------------------------
+class TestUpdateNominalTrajectory:
+    def test_pendulum_retarget(self):
+        """Mirrors trajectory_optimizer_test.cc:1754-1827: solve the
+        pendulum swing-up to q_nom = pi, then UpdateNominalTrajectory to
+        -1.2 and re-solve from the same guess; each solve must reach its
+        own target to 1e-3."""
+        from idto_tpu.api import TrajectoryOptimizer
+
+        T, dt = 20, 5e-2
+        model = make_pendulum()
+        prob = _toy_problem(
+            model, T, dt, 0.1, 0.0, Qq=1.0, Qv=0.1, Qf_q=1000.0, Qf_v=1.0,
+            R=0.01, q_nom=np.pi, v_nom=0.0,
+        )
+        params = SolverParameters(
+            max_iterations=20, check_convergence=True,
+            equality_constraints=False,
+        )
+        params = params.replace(
+            tolerances=params.tolerances.replace(rel_cost_reduction=1e-5)
+        )
+        opt = TrajectoryOptimizer(model, prob, params)
+        q_guess = np.broadcast_to(np.asarray([0.1]), (T + 1, 1))
+
+        sol, stats = opt.Solve(q_guess)
+        assert int(stats.solver_flag) == 0  # SUCCESS
+        np.testing.assert_allclose(float(sol.q[T, 0]), np.pi, atol=1e-3)
+
+        opt.UpdateNominalTrajectory(
+            np.full((T + 1, 1), -1.2), np.zeros((T + 1, 1))
+        )
+        sol2, stats2 = opt.Solve(q_guess)
+        assert int(stats2.solver_flag) == 0
+        np.testing.assert_allclose(float(sol2.q[T, 0]), -1.2, atol=1e-3)
