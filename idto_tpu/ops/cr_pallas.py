@@ -65,15 +65,22 @@ def _gj_inverse(M):
         ej_col = (col_ids == j).astype(dtype)  # (1, 1, K)
         ej_row = (row_ids == j).astype(dtype)  # (1, K, 1)
 
-        p = jnp.sum(M * ej_row * ej_col, axis=(1, 2))  # (h,) pivot
-        recip = 1.0 / p
-        r = jnp.sum(M * ej_row, axis=1) * recip[:, None]  # (h, K) pivot row
-        r = r * (1.0 - ej_col[0]) + recip[:, None] * ej_col[0]
-        f = jnp.sum(M * ej_col, axis=2)                   # (h, K) pivot col
-        M = M - f[:, :, None] * r[:, None, :]
-        colj = -f * recip[:, None]
-        M = M * (1.0 - ej_col) + colj[:, :, None] * ej_col
-        M = M * (1.0 - ej_row) + r[:, None, :] * ej_row
+        # Every intermediate stays rank-3, and reductions go one axis at
+        # a time: Mosaic's layout inference aborts (layout.h CHECK,
+        # implicit_dim rank) on multi-axis reductions of rank-3 values on
+        # real TPU hardware (interpret mode hides it).
+        p = jnp.sum(
+            jnp.sum(M * ej_row * ej_col, axis=2, keepdims=True),
+            axis=1, keepdims=True,
+        )
+        recip = 1.0 / p                                    # (h, 1, 1)
+        r = jnp.sum(M * ej_row, axis=1, keepdims=True) * recip  # (h, 1, K)
+        r = r * (1.0 - ej_col) + recip * ej_col
+        f = jnp.sum(M * ej_col, axis=2, keepdims=True)     # (h, K, 1)
+        M = M - f * r
+        colj = -f * recip
+        M = M * (1.0 - ej_col) + colj * ej_col
+        M = M * (1.0 - ej_row) + r * ej_row
         return M
 
     return jax.lax.fori_loop(0, K, body, M)

@@ -122,6 +122,16 @@ def main():
     pallas = jax.jit(
         jax.vmap(lambda H, b: cr_pallas.solve_many(H, b[None])[0])
     )
+    # Hybrid: XLA levels down to 64 super-rows, fused Pallas kernel for
+    # the deep tail -- the solver's long-horizon path
+    # (optimizer/solver.py:_hybrid_tail_rows).
+    crhybrid = jax.jit(
+        jax.vmap(
+            lambda H, b: cyclic_reduction.solve_factorized(
+                cyclic_reduction.factorize(H, tail_rows=64), b
+            )
+        )
+    )
 
     for T in (20, 40, 160, 640):
         n = T + 1
