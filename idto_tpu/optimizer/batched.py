@@ -200,6 +200,14 @@ def solve_trust_region_batched(
             0.5,
             actual / predicted,
         )
+        # Per-scenario containment of a non-finite trust ratio (degenerate
+        # trial point / 0-0 quadratic model): finite rho = -1 rejects the
+        # step and shrinks the radius instead of writing NaN into stats.
+        # This is the batched analog of the reference's trust-ratio noise
+        # guard + non-descent abort (trajectory_optimizer.cc:1979-2035,
+        # :2528-2538) -- root cause of the round-4 bench failure (scenario
+        # 3084/4096, f32 CR, chained warm starts).
+        rho = jnp.where(jnp.isfinite(rho), rho, -1.0)
         accept = jnp.logical_and(rho > eta, prep.fact_ok)
         q_new = jnp.where(accept[:, None, None], q_try, s.q)
 
@@ -267,7 +275,12 @@ def solve_trust_region_batched(
             prev_cost=jnp.where(accept, cost_try, prep.cost),
             reason=reason,
             done=done,
-            failed=jnp.logical_or(s.failed, ~prep.fact_ok),
+            # Latch degraded-but-contained Newton solves (per-scenario
+            # Cauchy fallback, solver._prepare_from_physics) into the same
+            # FACTORIZATION_FAILED reporting path as hard failures.
+            failed=jnp.logical_or(
+                s.failed, jnp.logical_or(~prep.fact_ok, ~prep.solve_ok)
+            ),
             D=prep.D,
             dq_last=dq,
             dqH_last=prep.D * prep.p_newton,

@@ -123,6 +123,7 @@ class _Prepared(NamedTuple):
     h: Any  # (n_h,) constraint violations (or zeros(0))
     lam: Any  # (n_h,) Lagrange multipliers
     fact_ok: Any  # scalar bool: factorization succeeded and step is finite
+    solve_ok: Any  # scalar bool: Newton solve met the residual acceptance
 
 
 def _unactuated(model: Model):
@@ -415,12 +416,45 @@ def _prepare_from_physics(
     gHg = jnp.sum(g_merit * Hg)
     p_cauchy = -(gg / jnp.maximum(gHg, 1e-300)) * g_merit
 
+    # ---- Newton-step acceptance + per-scenario containment ----
+    # In reduced precision the log-depth CR solve can DEGRADE without its
+    # factorization reporting failure: finite factors, finite step, but a
+    # solution so wrong that the dogleg step blows the merit up to inf and
+    # poisons the trust ratio (observed: f32/TPU, batch 4096, chained warm
+    # starts -- one scenario's second solve returned rho = NaN and killed
+    # the round-4 bench).  The reference can afford to abort the process on
+    # a non-descent direction (trajectory_optimizer.cc:2528-2538); a
+    # batched device solve cannot, so contain it per scenario: accept the
+    # Newton step only if its residual is small relative to the gradient,
+    # otherwise take the (always well-defined, descent) Cauchy step for
+    # this iteration and report the degradation via `solve_ok` -> the
+    # FACTORIZATION_FAILED solver flag.  Calibration of the acceptance
+    # threshold against healthy f32 CR residuals on real cheetah/spinner
+    # Hessians: scripts/bench_f32_accept.py (BENCH_F32_ACCEPT.json).
+    res = _lin_matvec(params, Hs, p_newton) + g_merit
+    rel_res = jnp.sqrt(jnp.sum(res * res)) / jnp.sqrt(
+        jnp.maximum(gg, jnp.finfo(q.dtype).tiny)
+    )
+    # Catastrophe-only thresholds: a backward-stable banded solve has
+    # rel_res ~ eps * cond(H~), so healthy f32 solves on the scaled
+    # (cond ~1e4-1e6) Hessian legitimately reach ~1e-3..1e-1; the failure
+    # being contained is orders of magnitude past 1 (it drove the merit to
+    # inf).  f64 has ~9 extra digits of slack.
+    rtol = 0.25 if q.dtype == jnp.float32 else 1e-6
+    solve_ok = jnp.logical_and(
+        jnp.all(jnp.isfinite(p_newton)), rel_res < rtol
+    )
+    p_newton = jnp.where(solve_ok, p_newton, p_cauchy)
+
     # Factorization-failure detection (reference: the per-block solver
     # success check in PentaDiagonalFactorization::Factorize,
     # penta_diagonal_solver.h:16-22, DRAKE_DEMANDed at the call sites).
     # A singular block yields inf/nan in the stored factors and/or in the
     # Newton step; both are checked so the dense-LU path (finite factors,
-    # zero pivot) is covered too.
+    # zero pivot) is covered too.  After the containment above p_newton is
+    # the step actually taken (Newton or Cauchy fallback) -- if even that
+    # is non-finite (gradient itself non-finite) the iterate is
+    # unrecoverable and fact_ok terminates the scenario.
     if _use_dense(params) or _use_pallas(params, q.dtype, q.shape[0]):
         # Dense LU: finite factors even for singular inputs (zero pivot);
         # Pallas: the 'factor' is the band matrix itself.  Both are covered
@@ -444,6 +478,7 @@ def _prepare_from_physics(
         h=h,
         lam=lam,
         fact_ok=fact_ok,
+        solve_ok=solve_ok,
     )
 
 
@@ -602,6 +637,14 @@ def solve_trust_region(
             0.5,
             actual / predicted,
         )
+        # Non-finite trust ratio (inf merit at a degenerate trial point,
+        # 0/0, ...): the step is unusable -- record a finite rho = -1 so
+        # the step is rejected and the radius shrinks, instead of writing
+        # NaN into the stats (reference noise guard:
+        # trajectory_optimizer.cc:1979-2035; the reference additionally
+        # aborts on a non-descent direction at :2528-2538, which a batched
+        # device solve must survive instead).
+        rho = jnp.where(jnp.isfinite(rho), rho, -1.0)
 
         # A failed factorization (singular/ill-conditioned Hessian block)
         # poisons dq; never take such a step, terminate, and surface
@@ -696,7 +739,12 @@ def solve_trust_region(
             prev_cost=prev_cost,
             reason=reason,
             done=done,
-            failed=jnp.logical_or(s.failed, ~prep.fact_ok),
+            # A degraded-but-contained Newton solve (Cauchy fallback taken,
+            # prep.solve_ok False) is latched into the same flag: the solve
+            # continues, but the caller learns the linear solver misbehaved.
+            failed=jnp.logical_or(
+                s.failed, jnp.logical_or(~prep.fact_ok, ~prep.solve_ok)
+            ),
             D=prep.D,
             dq_last=dq,
             dqH_last=prep.D * prep.p_newton,

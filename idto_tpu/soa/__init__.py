@@ -5,7 +5,7 @@ quantities as ``(..., 3)`` / ``(..., 3, 3)`` arrays with the batch axes
 LEADING.  On TPU, arrays tile into (8, 128) vector registers by their two
 MINOR dimensions, so a trailing 3 pads 3/128 lanes -- ~98% of the VPU and
 of HBM tile bandwidth is thrown away on every elementwise op.  Measured on
-the round-4 microbenchmark (scripts/exp_soa_layout.py): a 24-deep chain of
+the round-4 microbenchmark (scripts/exp_batch_axis.py): a 24-deep chain of
 batched 3x3 products over 97k instances runs 3.5 ms in AoS layout and
 under the RTT measurement floor (>50x faster) in SoA layout.  This is why
 round 3's exact partials sat at 0.04% MFU (VERDICT r3 Weak #2): the

@@ -38,6 +38,23 @@ def _machine_key() -> str:
         parts.append(jax.__version__)
     except Exception:
         pass
+    # The active platform is part of the key: a remote-TPU (axon) process
+    # compiles its host-side XLA:CPU executables with different compile
+    # options (prefer-no-scatter/gather) than a pure-CPU process, and
+    # XLA:CPU bakes those options into the AOT entry's "machine features"
+    # -- so entries written under one platform fail (with per-entry
+    # cpu_aot_loader errors) when loaded under the other.  Splitting the
+    # directories makes each platform's cache self-consistent.
+    plat = ""
+    try:
+        import jax
+        # The config value (set via jax.config.update("jax_platforms", ...))
+        # wins over the env var, mirroring jax's own resolution order; no
+        # backend initialization happens here.
+        plat = jax.config.jax_platforms or ""
+    except Exception:
+        pass
+    parts.append(plat or os.environ.get("JAX_PLATFORMS", ""))
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
 
 

@@ -1,0 +1,160 @@
+"""f32 numerical acceptance for the penta-solver family on REAL Hessians.
+
+VERDICT r4 item 7: the committed condition sweeps used synthetic SPD
+systems; this script measures, on the actual scaled Gauss-Newton Hessians
+the solver factorizes for cheetah and spinner iterates, the healthy-case
+
+  * relative residual  ||H x + g|| / ||g||   (the acceptance statistic the
+    per-scenario containment in optimizer/solver.py thresholds at 0.25
+    for f32), and
+  * solution error vs the f64 scan-Thomas oracle,
+
+for scan-Thomas, pure-JAX cyclic reduction, and (on TPU) the fused Pallas
+CR kernel, in f32, across several trust-region iterates (warm-started
+perturbations).  Writes BENCH_F32_ACCEPT.json at the repo root with the
+max observed healthy residual -- the committed evidence that the
+containment threshold sits orders of magnitude above healthy noise while
+catching the catastrophic solves it exists for (reference oracle pattern:
+penta_diagonal_solver_test.cc:260-319).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from idto_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    from idto_tpu.examples.registry import load_example
+    from idto_tpu.ops import cyclic_reduction, penta
+    from idto_tpu.optimizer.hessian import (
+        gauss_newton_hessian,
+        gradient_from_partials,
+    )
+    from idto_tpu.optimizer.partials import id_partials_for, nplus_stack
+    from idto_tpu.optimizer.solver import (
+        _scale_factors_from_diag,
+        solve_trust_region,
+    )
+
+    backend = jax.default_backend()
+    results = {"backend": backend, "cases": []}
+    rng = np.random.default_rng(0)
+
+    def scaled_system(model, prob, params, q):
+        """The exact (H~, g~) pair the solver factorizes at iterate q."""
+        from idto_tpu.optimizer import trajectory
+
+        contact = params.contact
+        v = trajectory.velocities(model, prob, q)
+        a = trajectory.accelerations(prob, v)
+        tau = jax.vmap(
+            lambda qn, vn, an: trajectory.step_tau(model, contact, qn, vn, an)
+        )(q[1:], v[1:], a)
+        parts = id_partials_for(model, prob, params, q)
+        npl = nplus_stack(model, q)
+        g = gradient_from_partials(model, prob, parts, npl, q, v, tau)
+        H = gauss_newton_hessian(model, prob, parts, npl)
+        D = _scale_factors_from_diag(
+            penta.extract_diagonal(H), params.scaling_method, jnp.ones_like(q)
+        )
+        return penta.scale_by_diagonal(H, D), D * g
+
+    for name in ("mini_cheetah", "spinner"):
+        model, cfg, prob, params, q_guess = load_example(name)
+        params = params.replace(max_iterations=4, check_convergence=False)
+
+        # Iterates: the initial guess, a perturbed guess, and the result
+        # of a short solve (curvature grows as contact activates).
+        sys_fn = jax.jit(
+            lambda q: scaled_system(model, prob, params, q)
+        )
+        sol, _, _ = jax.jit(
+            lambda qg: solve_trust_region(model, prob, params, qg)
+        )(q_guess)
+        iterates = [
+            np.asarray(q_guess),
+            np.asarray(q_guess)
+            + 0.01 * rng.standard_normal(np.shape(q_guess)),
+            np.asarray(sol.q),
+        ]
+
+        for it, q_np in enumerate(iterates):
+            Hs, gs = sys_fn(jnp.asarray(q_np, q_guess.dtype))
+            H64 = jax.tree.map(lambda x: jnp.asarray(
+                np.asarray(x), jnp.float64), Hs) if backend == "cpu" else None
+            H32 = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x), jnp.float32), Hs
+            )
+            g32 = jnp.asarray(np.asarray(gs), jnp.float32)
+            gnorm = float(np.linalg.norm(np.asarray(gs)))
+
+            row = {
+                "example": name, "iterate": it,
+                "T": int(prob.num_steps), "nq": int(model.nq),
+            }
+            solvers = {
+                "thomas": lambda H, b: penta.solve(H, b),
+                "cr": lambda H, b: cyclic_reduction.solve(H, b),
+            }
+            if backend == "tpu":
+                from idto_tpu.ops import cr_pallas
+                solvers["cr_pallas"] = (
+                    lambda H, b: cr_pallas.solve_many(H, b[None])[0]
+                )
+            x64 = None
+            if backend == "cpu":
+                x64 = np.asarray(
+                    jax.jit(penta.solve)(
+                        H64, jnp.asarray(np.asarray(gs), jnp.float64)
+                    )
+                )
+            for sname, fn in solvers.items():
+                x = np.asarray(jax.jit(fn)(H32, g32), np.float64)
+                r = np.asarray(
+                    penta.matvec(H32, jnp.asarray(x, jnp.float32))
+                ) - np.asarray(g32)
+                row[f"{sname}_relres"] = float(
+                    np.linalg.norm(r) / max(gnorm, 1e-300)
+                )
+                if x64 is not None:
+                    row[f"{sname}_relerr_vs_f64"] = float(
+                        np.linalg.norm(x - x64)
+                        / max(np.linalg.norm(x64), 1e-300)
+                    )
+            results["cases"].append(row)
+            print(json.dumps(row), flush=True)
+
+    worst = max(
+        v for c in results["cases"] for k, v in c.items()
+        if k.endswith("_relres")
+    )
+    results["max_healthy_relres_f32"] = worst
+    results["containment_rtol_f32"] = 0.25
+    results["headroom"] = round(0.25 / max(worst, 1e-300), 1)
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_F32_ACCEPT.json",
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({
+        "max_healthy_relres_f32": worst,
+        "containment_rtol_f32": 0.25,
+        "headroom_x": results["headroom"],
+    }))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,7 @@ def main():
             x_ref = None
             for name, fn in (
                 ("thomas_scan", thomas), ("cr_jax", crjax),
-                ("cr_pallas", pallas),
+                ("cr_pallas", pallas), ("cr_hybrid", crhybrid),
             ):
                 try:
                     dt, out = timeit(fn, H, b)
@@ -162,7 +162,9 @@ def main():
                     row[f"{name}_relerr_vs_thomas"] = round(err, 9)
                 except Exception as e:  # noqa: BLE001 (record and continue)
                     row[f"{name}_ms"] = None
-                    row[f"{name}_error"] = str(e)[:200]
+                    # repr, not str: several compiler exceptions stringify
+                    # to "" (round-4 artifact recorded empty error columns).
+                    row[f"{name}_error"] = repr(e)[:300]
             results.append(row)
             print(json.dumps(row), flush=True)
             out_path = os.path.join(os.path.dirname(__file__), "..",
