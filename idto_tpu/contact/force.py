@@ -26,7 +26,7 @@ import numpy as np
 from idto_tpu.geometry.distance import signed_distance
 from idto_tpu.models import mat3
 from idto_tpu.models.kinematics import body_velocities
-from idto_tpu.models.model import Model
+from idto_tpu.models.model import GeomType, Model
 from idto_tpu.utils.structs import pytree_dataclass, static
 
 
@@ -109,6 +109,14 @@ def contact_wrenches(
     for (ta, tb), pairs in _group_pairs(geoms).items():
         ia = np.array([p[0] for p in pairs])
         ib = np.array([p[1] for p in pairs])
+        # CONVEX geometries carry their hull vertex set as the "params"
+        # at the distance layer (geometry/distance.py contract).
+        prms_a = (
+            geoms.verts[ia] if ta == GeomType.CONVEX else geoms.params[ia]
+        )
+        prms_b = (
+            geoms.verts[ib] if tb == GeomType.CONVEX else geoms.params[ib]
+        )
 
         def pair_force(Ra, pa, prm_a, Rb, pb, prm_b,
                        wa_body, pda_body, pla_body,
@@ -148,8 +156,8 @@ def contact_wrenches(
             return phi, nhat, p_c, f_on_b, tq_a, tq_b
 
         phi, nhat, p_c, f_on_b, tq_a, tq_b = jax.vmap(pair_force)(
-            Rg[ia], pg[ia], geoms.params[ia].astype(dtype),
-            Rg[ib], pg[ib], geoms.params[ib].astype(dtype),
+            Rg[ia], pg[ia], prms_a.astype(dtype),
+            Rg[ib], pg[ib], prms_b.astype(dtype),
             w_g[ia], pd_g[ia], pl_g[ia],
             w_g[ib], pd_g[ib], pl_g[ib],
         )

@@ -183,3 +183,84 @@ def mesh_to_primitive(path, scale=None, kind: str = "auto"):
     if scale is not None:
         verts = verts * np.asarray(scale, dtype=np.float64)
     return approximate_mesh(verts, kind=kind)
+
+
+# ---------------------------------------------------------------------------
+# Convex hulls (mesh-fidelity collision)
+# ---------------------------------------------------------------------------
+def _fibonacci_directions(n: int) -> np.ndarray:
+    """(n, 3) roughly-uniform unit directions (Fibonacci sphere)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / n)
+    theta = np.pi * (1.0 + np.sqrt(5.0)) * i
+    return np.stack(
+        [
+            np.sin(phi) * np.cos(theta),
+            np.sin(phi) * np.sin(theta),
+            np.cos(phi),
+        ],
+        axis=1,
+    )
+
+
+def convex_hull_vertices(verts: np.ndarray, max_verts: int = 64) -> np.ndarray:
+    """Support-extreme subset of the convex hull of ``verts``.
+
+    For 4 * max_verts roughly-uniform directions, keep the vertex that
+    maximizes each direction's support -- every kept point is an exact
+    hull vertex, and the hull of the subset is the tightest inner
+    approximation whose support matches the mesh in those directions.
+    Returns (m, 3) with 4 <= m <= max_verts (padded by the geometry layer,
+    not here); degenerate/flat meshes keep whatever extremes exist.
+
+    This replaces the Drake/FCL exact mesh signed-distance queries the
+    reference consumes (trajectory_optimizer.cc:266-279) with a
+    differentiable convex-hull query set; see geometry/distance.py for the
+    runtime queries.
+    """
+    verts = np.asarray(verts, dtype=np.float64)
+    dirs = _fibonacci_directions(4 * max_verts)
+    idx = np.argmax(dirs @ verts.T, axis=1)
+    uniq = np.unique(idx)
+    hull = verts[uniq]
+    if hull.shape[0] > max_verts:
+        # Greedy farthest-point decimation keeps the most spread-out
+        # support vertices (drops near-duplicates on dense hulls).
+        keep = [int(np.argmax(np.linalg.norm(hull - hull.mean(0), axis=1)))]
+        d = np.linalg.norm(hull - hull[keep[0]], axis=1)
+        for _ in range(max_verts - 1):
+            nxt = int(np.argmax(d))
+            keep.append(nxt)
+            d = np.minimum(d, np.linalg.norm(hull - hull[nxt], axis=1))
+        hull = hull[np.asarray(keep)]
+    return hull
+
+
+def mesh_to_convex(path, scale=None, max_verts: int = 64):
+    """Load a mesh and reduce it to a convex-hull collision geometry:
+    (GeomType.CONVEX, verts (m, 3), R=I, p=0).  The vertices stay in the
+    mesh file's frame (the URDF/SDF geometry pose applies on top)."""
+    verts = load_mesh_vertices(path)
+    if scale is not None:
+        verts = verts * np.asarray(scale, dtype=np.float64)
+    hull = convex_hull_vertices(verts, max_verts=max_verts)
+    return GeomType.CONVEX, hull, np.eye(3), np.zeros(3)
+
+
+def mesh_to_collision(path, scale=None, mode: str | None = None):
+    """Mesh -> collision geometry with the repo-wide mode switch.
+
+    mode 'convex' (default): convex hull of the mesh vertices -- the
+    mesh-fidelity path (reference parity: Drake serves exact mesh
+    distances to trajectory_optimizer.cc:266-279).  mode 'primitive':
+    best-volume bounding primitive (the pre-round-5 behavior; cheaper,
+    coarser).  Overridable via IDTO_MESH_COLLISION.
+    """
+    mode = mode or os.environ.get("IDTO_MESH_COLLISION", "convex")
+    if mode == "primitive":
+        return mesh_to_primitive(path, scale=scale)
+    if mode in ("sphere", "box", "capsule"):
+        return mesh_to_primitive(path, scale=scale, kind=mode)
+    if mode != "convex":
+        raise ValueError(f"unknown mesh collision mode {mode!r}")
+    return mesh_to_convex(path, scale=scale)

@@ -67,6 +67,7 @@ class GeomType(enum.IntEnum):
     CAPSULE = 2
     CYLINDER = 3
     HALFSPACE = 4  # plane through origin of geom frame, +z outward
+    CONVEX = 5  # convex hull of a stored vertex set (mesh collision)
 
 
 @pytree_dataclass
@@ -91,6 +92,11 @@ class CollisionGeoms:
     R: Any = None  # (ng, 3, 3) geom pose in body frame
     p: Any = None  # (ng, 3)
     params: Any = None  # (ng, 3)
+    # Convex-hull vertex sets (mesh-fidelity collision): (ng, VMAX, 3) in
+    # each geometry's own frame, padded by repeating the first vertex
+    # (repetition does not change the hull); all-zero rows for primitive
+    # geoms.  None when the model has no CONVEX geometry.
+    verts: Any = None
 
     @property
     def num_geoms(self) -> int:
@@ -180,6 +186,7 @@ class ModelBuilder:
         self._geom_R: list[np.ndarray] = []
         self._geom_p: list[np.ndarray] = []
         self._geom_params: list[np.ndarray] = []
+        self._geom_verts: list[Optional[np.ndarray]] = []
         self._geom_names: list[str] = []
         self._pair_filter: list[tuple] = []
 
@@ -259,20 +266,34 @@ class ModelBuilder:
         self,
         body: str,
         gtype: GeomType,
-        params: Sequence[float],
+        params: Sequence[float] = (),
         *,
         R: Optional[np.ndarray] = None,
         p: Sequence[float] = (0.0, 0.0, 0.0),
         name: str = "",
+        verts: Optional[np.ndarray] = None,
     ) -> int:
+        """``verts`` (m, 3) is required for GeomType.CONVEX (the convex
+        hull of the points, in the geometry frame) and ignored otherwise;
+        use models.mesh.mesh_to_convex to reduce a mesh file to one."""
         idx = len(self._geom_types)
-        self._geom_types.append(GeomType(gtype))
+        gtype = GeomType(gtype)
+        if gtype == GeomType.CONVEX:
+            if verts is None:
+                # The URDF/SDF parsers hand the hull vertices through the
+                # params slot (mesh_to_convex's return contract).
+                verts, params = params, ()
+            verts = np.asarray(verts, dtype=np.float64)
+            if verts.ndim != 2 or verts.shape[1] != 3:
+                raise ValueError("CONVEX geometry requires verts (m, 3)")
+        self._geom_types.append(gtype)
         self._geom_bodies.append(self.link_index(body))
         self._geom_R.append(np.eye(3) if R is None else np.asarray(R))
         self._geom_p.append(np.asarray(p, dtype=np.float64))
         prm = np.zeros(3)
         prm[: len(params)] = params
         self._geom_params.append(prm)
+        self._geom_verts.append(verts)
         self._geom_names.append(name or f"geom_{idx}")
         return idx
 
@@ -369,6 +390,20 @@ class ModelBuilder:
                 if (i, j) in filtered:
                     continue
                 pairs.append((i, j))
+        verts = None
+        if any(v is not None for v in self._geom_verts):
+            vmax = max(
+                v.shape[0] for v in self._geom_verts if v is not None
+            )
+            stacked = np.zeros((ng, vmax, 3))
+            for i, v in enumerate(self._geom_verts):
+                if v is None:
+                    continue
+                # Pad by repeating the first vertex: repetition leaves the
+                # convex hull (and every support value) unchanged.
+                stacked[i, : v.shape[0]] = v
+                stacked[i, v.shape[0]:] = v[0]
+            verts = jnp.asarray(stacked, dtype=dtype)
         return CollisionGeoms(
             types=tuple(int(t) for t in self._geom_types),
             bodies=tuple(self._geom_bodies),
@@ -377,4 +412,5 @@ class ModelBuilder:
             R=jnp.asarray(np.stack(self._geom_R), dtype=dtype),
             p=jnp.asarray(np.stack(self._geom_p), dtype=dtype),
             params=jnp.asarray(np.stack(self._geom_params), dtype=dtype),
+            verts=verts,
         )

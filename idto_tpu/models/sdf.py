@@ -129,7 +129,7 @@ def _parse_geometry(geom_el: Optional[ET.Element], mesh_dir=None):
                 return None
             import os
 
-            from idto_tpu.models.mesh import mesh_to_primitive
+            from idto_tpu.models.mesh import mesh_to_collision
 
             uri = _text(child, "uri")
             scale_txt = _text(child, "scale")
@@ -137,7 +137,7 @@ def _parse_geometry(geom_el: Optional[ET.Element], mesh_dir=None):
             path = uri if os.path.isabs(uri) else os.path.join(mesh_dir, uri)
             if not os.path.exists(path):
                 return None
-            return mesh_to_primitive(path, scale=scale)
+            return mesh_to_collision(path, scale=scale)
     return None
 
 

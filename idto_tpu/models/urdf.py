@@ -104,7 +104,7 @@ def _parse_geometry(geom_el: ET.Element, mesh_dir: Optional[str] = None):
         if tag == "mesh":
             if mesh_dir is None:
                 return None  # no way to resolve the mesh file
-            from idto_tpu.models.mesh import mesh_to_primitive
+            from idto_tpu.models.mesh import mesh_to_collision
 
             fname = child.get("filename")
             if not fname:
@@ -118,7 +118,7 @@ def _parse_geometry(geom_el: ET.Element, mesh_dir: Optional[str] = None):
             )
             if not os.path.exists(path):
                 return None
-            return mesh_to_primitive(path, scale=scale)
+            return mesh_to_collision(path, scale=scale)
     return None
 
 
