@@ -59,6 +59,13 @@ def main(argv=None):
                              "sitecustomize may pin a remote-TPU platform "
                              "that overrides JAX_PLATFORMS; this flag and "
                              "the env var both win over it here)")
+    parser.add_argument("--live", default=None, type=int, nargs="?",
+                        const=8765, metavar="PORT",
+                        help="with --mpc: serve a live WebGL viewer on "
+                             "PORT (default 8765) and stream every "
+                             "replan's planned trajectory to it over a "
+                             "websocket (reference: live meshcat "
+                             "publishing, example_base.cc:81-82)")
     parser.add_argument("--playback", default=None, metavar="OUT.html",
                         help="export the solved trajectory as a standalone "
                              "WebGL playback HTML (reference meshcat "
@@ -103,8 +110,24 @@ def main(argv=None):
         from idto_tpu.mpc.runner import run_mpc
 
         sim_model, sim_contact = load_sim_plant(args.example, params)
-        result = run_mpc(model, cfg, prob, params, q_guess,
-                         sim_model=sim_model, sim_contact=sim_contact)
+        viewer = None
+        on_replan = None
+        if args.live is not None:
+            from idto_tpu.utils.liveview import LiveViewer
+
+            viewer = LiveViewer(model, dt=prob.dt, port=args.live)
+            print(f"live viewer: http://localhost:{viewer.port}")
+
+            def on_replan(t_now, q_plan, _v=viewer):
+                _v.publish(q_plan)
+
+        try:
+            result = run_mpc(model, cfg, prob, params, q_guess,
+                             sim_model=sim_model, sim_contact=sim_contact,
+                             on_replan=on_replan)
+        finally:
+            if viewer is not None:
+                viewer.close()
         print(
             f"MPC: {result.num_solves} solves, "
             f"mean solve time {1e3 * result.mean_solve_time:.2f} ms "

@@ -50,6 +50,7 @@ def run_mpc(
     q_guess,
     sim_model: Model | None = None,
     sim_contact=None,
+    on_replan=None,
 ) -> MpcResult:
     """Closed-loop MPC.  ``sim_model`` / ``sim_contact`` let the simulated
     plant differ from the one the optimizer plans with (the reference's
@@ -57,6 +58,11 @@ def run_mpc(
     hydroelastic-contact sim vs point-contact optimizer), enabling
     model-mismatch robustness evaluation.  Both default to the optimizer's.
     The sim model must share the optimizer model's state/actuation layout.
+
+    ``on_replan(t_now, q_plan)`` is called after every re-solve with the
+    freshly planned knot trajectory (host numpy) -- the hook the live
+    visualizer streams from (reference: the per-solve meshcat publishing
+    in example_base.cc:81-82; see utils/liveview.LiveViewer).
     """
     sim_model = sim_model if sim_model is not None else model
     sim_contact = sim_contact if sim_contact is not None else params.contact
@@ -111,6 +117,9 @@ def run_mpc(
             step_fn(model, prob, carry, x0, jnp.asarray(t_now))
         )
         solve_times.append(time.perf_counter() - t0)
+
+        if on_replan is not None:
+            on_replan(t_now, np.asarray(sol.q))
 
         # Simulate under the PREVIOUS stored trajectory (one-period delay),
         # on the SIMULATION plant (which may differ from the optimizer's).

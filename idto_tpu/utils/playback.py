@@ -65,18 +65,32 @@ def trajectory_scene_data(model: Model, qs, dt: float) -> dict:
     frames = np.zeros((qs.shape[0], g.num_geoms, 7))
     for i in range(g.num_geoms):
         body = g.bodies[i]
+        gtype = GeomType(g.types[i])
+        params = [float(v) for v in gparams[i]]
+        p_extra = np.zeros(3)
+        if gtype == GeomType.CONVEX:
+            # Visualize the hull as its local AABB (the renderer draws
+            # primitives only); contact still uses the exact hull.
+            verts = np.asarray(g.verts[i])
+            lo, hi = verts.min(axis=0), verts.max(axis=0)
+            params = [float(v) for v in 0.5 * (hi - lo)]
+            p_extra = 0.5 * (hi + lo)
+            type_name = "box"
+        else:
+            type_name = gtype.name.lower()
         geoms.append({
-            "type": GeomType(g.types[i]).name.lower(),
-            "params": [float(v) for v in gparams[i]],
+            "type": type_name,
+            "params": params,
             "name": g.names[i] if i < len(g.names) else f"geom{i}",
             "body": int(body),
         })
+        gp_i = gp[i] + gR[i] @ p_extra
         for t in range(qs.shape[0]):
             if body < 0:  # world-fixed
-                Rw, pw = gR[i], gp[i]
+                Rw, pw = gR[i], gp_i
             else:
                 Rw = R_links[t, body] @ gR[i]
-                pw = R_links[t, body] @ gp[i] + p_links[t, body]
+                pw = R_links[t, body] @ gp_i + p_links[t, body]
             frames[t, i, :4] = _rot_to_quat_np(Rw)
             frames[t, i, 4:] = pw
     return {
@@ -232,8 +246,8 @@ canvas.addEventListener("mousedown",e=>{let lx=e.clientX,ly=e.clientY;
 canvas.addEventListener("wheel",e=>{dist*=Math.exp(e.deltaY*0.001);
  e.preventDefault()},{passive:false});
 // playback state
-const nT=SCENE.frames.length;let frame=0,playing=true,tAcc=0,last=0;
-const scrub=document.getElementById("scrub");scrub.max=nT-1;
+let frame=0,playing=true,tAcc=0,last=0;
+const scrub=document.getElementById("scrub");scrub.max=SCENE.frames.length-1;
 const playBtn=document.getElementById("play"),
  tlabel=document.getElementById("tlabel"),
  speedSel=document.getElementById("speed");
@@ -243,7 +257,8 @@ scrub.oninput=()=>{frame=+scrub.value;playing=false;
 function draw(ts){requestAnimationFrame(draw);
  const dtv=(ts-last)/1000;last=ts;
  if(playing){tAcc+=dtv*(+speedSel.value);
-  while(tAcc>=SCENE.dt){tAcc-=SCENE.dt;frame=(frame+1)%nT}}
+  while(tAcc>=SCENE.dt){tAcc-=SCENE.dt;frame=(frame+1)%SCENE.frames.length}}
+ frame=Math.min(frame,SCENE.frames.length-1);
  scrub.value=frame;tlabel.textContent="t="+(frame*SCENE.dt).toFixed(3)+"s";
  canvas.width=innerWidth;canvas.height=innerHeight;
  gl.viewport(0,0,canvas.width,canvas.height);
