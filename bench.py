@@ -87,15 +87,15 @@ def main():
     params = params.replace(max_iterations=1, check_convergence=False)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        # Measured crossover (BENCH_LINSOLVE.json): the fused Pallas
-        # cyclic-reduction solve is 3-4x scan-Thomas for batched T<=40
-        # f32 systems -- the benchmark's exact regime.
-        from idto_tpu.optimizer.problem import LinearSolverType
-
-        params = params.replace(
-            linear_solver=LinearSolverType.CYCLIC_REDUCTION
-        )
+    # Linear solver: the default scan-Thomas (PENTA_LU).  Rounds 2-4 forced
+    # CYCLIC_REDUCTION here for its 3-4x per-solve speed on synthetic
+    # systems (BENCH_LINSOLVE.json) -- but on the REAL warm-started cheetah
+    # iterates the f32 CR solve degrades past the containment threshold on
+    # ~95% of scenarios (BENCH_F32_ACCEPT.json: relres 1.9-19 where Thomas
+    # holds ~1e-3), so those "solves" were actually contained Cauchy-step
+    # iterations.  Thomas is both the honest and the fast configuration for
+    # this regime; CR (+ the per-scenario Thomas rescue in
+    # optimizer/batched.py) remains available via SolverParameters.
     dev_kind = jax.devices()[0].device_kind
     batches = (1, 256, 4096) if on_tpu else (1, 8)
 

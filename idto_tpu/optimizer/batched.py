@@ -42,6 +42,7 @@ from idto_tpu.optimizer.problem import (
     SolverMethod,
     SolverParameters,
 )
+from idto_tpu.ops import penta
 from idto_tpu.optimizer.solver import (
     ConvergenceReason,
     Solution,
@@ -53,6 +54,7 @@ from idto_tpu.optimizer.solver import (
     _LoopState,
     _prepare_from_physics,
     _unactuated,
+    _use_cr,
     _use_dense,
 )
 from idto_tpu.soa import contact as soa_contact
@@ -141,6 +143,61 @@ def _merit_at_batched(model, probs, params, q_try, lam):
     return cost, cost
 
 
+def _rescue_degraded_solves(params: SolverParameters, prep):
+    """Second-chance Newton solve for scenarios whose fast linear solve
+    was rejected by the residual acceptance.
+
+    The per-scenario containment in ``solver._prepare_from_physics``
+    replaces a degraded Newton step with the Cauchy step -- safe, but it
+    costs Newton quality exactly where it matters (f32 cyclic reduction
+    degrades by orders of magnitude on contact-stiff converged iterates:
+    measured rel_res O(10) where scan-Thomas stays ~1e-3 on the same
+    scaled cheetah Hessian, BENCH_F32_ACCEPT.json).  Here the batch gets a
+    scan-Thomas re-solve under a BATCH-LEVEL ``lax.cond``: zero device
+    work in the common all-healthy case, one batched Thomas solve when any
+    scenario degraded.  Scenarios whose re-solve passes the same residual
+    acceptance get their Newton step (and ``solve_ok``) back; the rest
+    keep the Cauchy fallback.  (The equality-constraint multipliers are
+    not re-solved -- they perturb the merit gradient, not the step's
+    well-posedness.)
+
+    This batch-level conditional is only expressible on the batch-native
+    path: under ``vmap(solve_trust_region)`` a ``lax.cond`` runs both
+    branches for every scenario, which would pay the Thomas solve
+    unconditionally and erase the fast solver's advantage.
+    """
+    if _use_dense(params) or not _use_cr(params):
+        return prep  # scan-Thomas is already the primary solver
+    dtype = prep.p_newton.dtype
+    rtol = 0.25 if dtype == jnp.float32 else 1e-6
+    B = prep.solve_ok.shape[0]
+    tiny = jnp.finfo(dtype).tiny
+
+    def resolve(_):
+        x = jax.vmap(lambda H, g: -penta.solve(H, g))(prep.H, prep.g_merit)
+        res = jax.vmap(penta.matvec)(prep.H, x) + prep.g_merit
+        rel = _bnorm(res) / jnp.sqrt(
+            jnp.maximum(_bdot(prep.g_merit, prep.g_merit), tiny)
+        )
+        finite = jnp.all(
+            jnp.isfinite(x).reshape(B, -1), axis=1
+        )
+        return x, jnp.logical_and(finite, rel < rtol)
+
+    def skip(_):
+        return jnp.zeros_like(prep.p_newton), jnp.zeros(B, bool)
+
+    x_t, ok_t = jax.lax.cond(
+        jnp.any(~prep.solve_ok), resolve, skip, None
+    )
+    use_t = jnp.logical_and(~prep.solve_ok, ok_t)
+    p_newton = jnp.where(use_t[:, None, None], x_t, prep.p_newton)
+    return prep._replace(
+        p_newton=p_newton,
+        solve_ok=jnp.logical_or(prep.solve_ok, use_t),
+    )
+
+
 def solve_trust_region_batched(
     model: Model,
     probs: ProblemDefinition,
@@ -179,6 +236,7 @@ def solve_trust_region_batched(
 
     def body(s: _LoopState):
         prep = _prepare_batched(model, probs, params, s.q, s.D)
+        prep = _rescue_degraded_solves(params, prep)
         dq_scaled, dq, boundary_active = jax.vmap(_dogleg)(prep, s.Delta)
 
         # ---- trust ratio ----

@@ -29,7 +29,21 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                    help="force the backend (the axon sitecustomize "
+                         "registers both; env JAX_PLATFORMS alone is "
+                         "overridden by it)")
+    args = ap.parse_args()
+
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "cpu":
+            jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from idto_tpu.utils.cache import enable_compilation_cache
@@ -135,13 +149,32 @@ def main():
             results["cases"].append(row)
             print(json.dumps(row), flush=True)
 
-    worst = max(
-        v for c in results["cases"] for k, v in c.items()
-        if k.endswith("_relres")
-    )
-    results["max_healthy_relres_f32"] = worst
+    # Per-solver maxima: the acceptance statistic the containment
+    # thresholds (0.25) must sit ABOVE for the solver that backstops the
+    # Newton step (scan-Thomas -- optimizer/batched.py's per-scenario
+    # rescue re-solves with it before falling back to Cauchy), and BELOW
+    # the degraded solves it must catch (f32 CR on the contact-stiff
+    # cheetah iterates).
+    per_solver = {}
+    for c in results["cases"]:
+        for k, v in c.items():
+            if k.endswith("_relres"):
+                per_solver[k] = max(per_solver.get(k, 0.0), v)
+    results["max_relres_by_solver"] = per_solver
+    worst = per_solver.get("thomas_relres", 0.0)
+    results["max_healthy_relres_f32"] = worst  # Thomas = the backstop path
     results["containment_rtol_f32"] = 0.25
     results["headroom"] = round(0.25 / max(worst, 1e-300), 1)
+    results["policy_note"] = (
+        "f32 cyclic reduction degrades past the containment threshold on "
+        "the floating-base cheetah's scaled Hessians (max relres "
+        f"{per_solver.get('cr_relres', 0.0):.3g}) while scan-Thomas stays "
+        f"within acceptance (max relres {worst:.3g}); bench.py therefore "
+        "runs the default scan-Thomas, and the batch-native solver "
+        "rescues degraded CR solves with a per-scenario Thomas re-solve "
+        "under a batch-level cond (optimizer/batched.py:"
+        "_rescue_degraded_solves) before falling back to Cauchy."
+    )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_F32_ACCEPT.json",

@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--batches", default=None)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    ap.add_argument("--native-only", action="store_true",
+                    help="skip the vmapped-AoS rows (each costs a ~700 s "
+                         "remote compile cold); time only the batch-native "
+                         "SoA path the headline bench runs")
     ap.add_argument("--trace-dir", default=None,
                     help="also dump a jax.profiler trace of the full step "
                          "at the largest batch")
@@ -108,6 +112,15 @@ def main():
     results = {
         "device": jax.devices()[0].device_kind,
         "rtt_ms": round(_RTT[0] * 1e3, 3),
+        "note": (
+            "per-phase device time of one mini-cheetah GN iteration, "
+            "genuine-sync timing (idto_tpu/utils/timing.py), RTT-"
+            "subtracted.  *_native rows are the batch-native SoA path "
+            "(optimizer/batched.py + soa/): same algorithm and shapes as "
+            "the vmapped AoS rows above them.  batch-1 rows sit below the "
+            "tunnel-RTT measurement floor; batch>=256 rows carry the "
+            "signal."
+        ),
         "phases": [],
     }
 
@@ -131,18 +144,33 @@ def main():
 
         row = {"batch": B}
 
-        # Full GN step and full _prepare.
-        t = time_fn(vm(full_step), inputs_q, args.reps)
-        row["full_step_ms"] = round(t * 1e3, 3)
-        t = time_fn(vm(phase_prepare), inputs_q, args.reps)
-        row["prepare_ms"] = round(t * 1e3, 3)
+        if args.native_only:
+            # Stage partials through the SoA path (pinned to the AoS form
+            # by tests/test_soa.py) -- compiling the vmapped-AoS partials
+            # just for staging would defeat the point of this mode.
+            from idto_tpu.soa import partials as _soa_parts
 
-        # Partials.
-        jt_parts = vm(lambda m, p, q: phase_partials(m, p, q))
-        t = time_fn(jt_parts, inputs_q, args.reps)
-        row["partials_ms"] = round(t * 1e3, 3)
+            jt_parts = jax.jit(
+                lambda p, q: _soa_parts.id_partials_batched(
+                    model, p, params.contact, q
+                )
+            )
+        else:
+            jt_parts = vm(lambda m, p, q: phase_partials(m, p, q))
+        if not args.native_only:
+            # Full GN step and full _prepare.
+            t = time_fn(vm(full_step), inputs_q, args.reps)
+            row["full_step_ms"] = round(t * 1e3, 3)
+            t = time_fn(vm(phase_prepare), inputs_q, args.reps)
+            row["prepare_ms"] = round(t * 1e3, 3)
 
-        # Hessian + factorization (inputs: staged partials).
+            # Partials.
+            t = time_fn(jt_parts, inputs_q, args.reps)
+            row["partials_ms"] = round(t * 1e3, 3)
+
+        # Hessian + factorization (inputs: staged partials).  These rows
+        # are shared: the batch-native path vmaps the same linear-algebra
+        # tail (optimizer/batched.py:_prepare_batched).
         inputs_h = []
         for (pi, qi) in inputs_q:
             parts = jt_parts(pi, qi)
@@ -167,10 +195,11 @@ def main():
         t = time_fn(jt_solve, inputs_s, args.reps)
         row["penta_solve_ms"] = round(t * 1e3, 3)
 
-        # Rollout / merit (cost at a trial point).
-        jt_roll = vm(phase_rollout)
-        t = time_fn(jt_roll, inputs_q, args.reps)
-        row["rollout_ms"] = round(t * 1e3, 3)
+        if not args.native_only:
+            # Rollout / merit (cost at a trial point).
+            jt_roll = vm(phase_rollout)
+            t = time_fn(jt_roll, inputs_q, args.reps)
+            row["rollout_ms"] = round(t * 1e3, 3)
 
         # --- batch-native SoA path (optimizer/batched.py): the scenario
         # axis rides the vector lanes instead of vmapped per-scenario
@@ -207,13 +236,22 @@ def main():
             t = time_fn(jt_roll_n, inputs_q, args.reps)
             row["rollout_native_ms"] = round(t * 1e3, 3)
 
-        row["per_solve_us_full"] = round(row["full_step_ms"] / B * 1e3, 2)
+        if "full_step_ms" in row:
+            row["per_solve_us_full"] = round(
+                row["full_step_ms"] / B * 1e3, 2
+            )
         if "full_step_native_ms" in row:
             row["per_solve_us_native"] = round(
                 row["full_step_native_ms"] / B * 1e3, 2
             )
         results["phases"].append(row)
-        print(json.dumps(row))
+        print(json.dumps(row), flush=True)
+        # Write incrementally: a compile-bound sweep that dies at batch k
+        # should still leave batches < k on disk.
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_PHASES.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
 
     if args.trace_dir:
         os.makedirs(args.trace_dir, exist_ok=True)
