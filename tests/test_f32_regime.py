@@ -89,9 +89,14 @@ def _run_chained(name, B, n_chain, native):
         _assert_stats_finite(stats, B)
 
 
-@pytest.mark.parametrize("native", [True, False])
+@pytest.mark.parametrize(
+    "native",
+    [True, pytest.param(False, marks=pytest.mark.slow)],
+)
 def test_chained_warm_start_stats_finite(native):
-    """bench.py's exact loop structure at a fast-tier size."""
+    """bench.py's exact loop structure at a fast-tier size.  The native
+    leg (the path bench.py actually runs) stays fast-tier; the vmapped
+    leg costs a second several-minute cold compile and runs slow-tier."""
     _run_chained("mini_cheetah", B=16, n_chain=3, native=native)
 
 
