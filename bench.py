@@ -87,15 +87,24 @@ def main():
     params = params.replace(max_iterations=1, check_convergence=False)
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    # Linear solver: the default scan-Thomas (PENTA_LU).  Rounds 2-4 forced
-    # CYCLIC_REDUCTION here for its 3-4x per-solve speed on synthetic
-    # systems (BENCH_LINSOLVE.json) -- but on the REAL warm-started cheetah
-    # iterates the f32 CR solve degrades past the containment threshold on
-    # ~95% of scenarios (BENCH_F32_ACCEPT.json: relres 1.9-19 where Thomas
-    # holds ~1e-3), so those "solves" were actually contained Cauchy-step
-    # iterations.  Thomas is both the honest and the fast configuration for
-    # this regime; CR (+ the per-scenario Thomas rescue in
-    # optimizer/batched.py) remains available via SolverParameters.
+    # Linear solver: the DEFAULT scan-Thomas (PENTA_LU).  All three
+    # configurations were measured end-to-end on TPU v5e at batch 4096
+    # (round 5, identical everything else):
+    #   * CYCLIC_REDUCTION, rounds 2-4 semantics: 3553 solves/s -- but on
+    #     the real warm-started f32 cheetah iterates the CR Newton solve
+    #     degrades past the 0.25 residual acceptance on ~95% of scenarios
+    #     (BENCH_F32_ACCEPT.json: relres 1.9-19 where Thomas holds ~1e-3),
+    #     so those iterations silently took contained CAUCHY steps;
+    #   * scan-Thomas: 1726 solves/s, every accepted step Newton-quality;
+    #   * CYCLIC_REDUCTION + the per-scenario Thomas rescue
+    #     (optimizer/batched.py:_rescue_degraded_solves): 1622 solves/s --
+    #     Newton quality too, but in this regime the rescue triggers
+    #     nearly every iteration, stacking Thomas's factorization on top
+    #     of CR's.
+    # Thomas is the fastest configuration whose throughput counts real
+    # Newton steps, so it is the headline; CR (+ rescue) remains the right
+    # choice where f32 CR is healthy (see BENCH_F32_ACCEPT.json spinner
+    # rows) and for the distributed long-horizon path.
     dev_kind = jax.devices()[0].device_kind
     batches = (1, 256, 4096) if on_tpu else (1, 8)
 

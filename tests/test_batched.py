@@ -38,13 +38,13 @@ def _setup(name, B, max_iters, seed=0, **param_overrides):
     return model, probs, params, qg
 
 
-# mini_cheetah (floating base, contact, nq=19) compiles the two largest
-# solve graphs in the suite (several minutes each on a cold 2-core host);
-# it runs in the slow tier (VERDICT r4 item 6), with pendulum + spinner
-# keeping the fast-tier native-vs-vmap pin (revolute and contact paths).
+# Every case compiles TWO full solve graphs (native + vmapped) -- minutes
+# each on a cold 2-core host -- so only pendulum pins the fast tier
+# (VERDICT r4 item 6); spinner (contact) and mini_cheetah (floating base,
+# nq=19, the two largest graphs in the suite) run slow-tier.
 CASES = [
     ("pendulum", {}),
-    ("spinner", {}),
+    pytest.param("spinner", {}, marks=pytest.mark.slow),
     pytest.param(
         "mini_cheetah", {"normalize_quaternions": True},
         marks=pytest.mark.slow,

@@ -45,6 +45,7 @@ def acrobot_problem(T=6, dt=0.05):
 
 
 class TestQuadraticCsv:
+    @pytest.mark.slow  # solve compile; test_sweep_columns keeps the CSV schema fast
     def test_columns_and_rows(self, tmp_path):
         model, prob, q_guess = acrobot_problem()
         params = SolverParameters(max_iterations=3, check_convergence=False,
@@ -105,6 +106,7 @@ class TestLinesearchResidual:
 
 
 class TestConditionNumbers:
+    @pytest.mark.slow  # replay re-solves per iteration
     def test_replay_and_print(self, capsys):
         model, prob, q_guess = acrobot_problem()
         params = SolverParameters(max_iterations=2, check_convergence=False,

@@ -128,6 +128,7 @@ class TestGradientsMethodSolveOption:
                     rtol=tol * 10,
                 )
 
+    @pytest.mark.slow  # full FD-gradient solve compile
     def test_swingup_with_fd_gradients(self):
         import jax.numpy as jnp
         import numpy as np

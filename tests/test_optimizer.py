@@ -199,6 +199,7 @@ class TestDenseAndExactHessian:
     exact Hessian; trajectory_optimizer_test.cc:496-701 compares GN vs exact
     Hessian on the pendulum)."""
 
+    @pytest.mark.slow  # two full solve compiles (fast tier: VERDICT r4 item 6)
     def test_dense_solver_matches_penta(self):
         from idto_tpu.optimizer.problem import LinearSolverType
 
@@ -218,6 +219,7 @@ class TestDenseAndExactHessian:
             np.asarray(sol_d.q), np.asarray(sol_p.q), rtol=1e-8, atol=1e-8
         )
 
+    @pytest.mark.slow  # exact-Hessian jacfwd graph is the suite's largest pendulum compile
     def test_exact_hessian_close_to_gn_near_solution(self):
         """Near a minimum of a mildly nonlinear problem the exact Hessian
         and the GN Hessian agree to leading order: one exact-Hessian step

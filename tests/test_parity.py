@@ -638,6 +638,7 @@ class TestEqualityConstraintsAndScaling:
         scaled = base.replace(scaling=True)
         return model, prob, q, base, scaled
 
+    @pytest.mark.slow  # two _prepare compiles (scaled + unscaled)
     def test_multipliers_merit_gradient_invariant(self):
         model, prob, q, params_u, params_s = self._setup()
         prep_u = _prepare(model, prob, params_u, q)
@@ -686,6 +687,7 @@ class TestEqualityConstraintsAndScaling:
             np.asarray(prep_s.g_merit), rtol=1e-9, atol=1e-12,
         )
 
+    @pytest.mark.slow  # two _prepare compiles (scaled + unscaled)
     def test_trust_ratio_invariant(self):
         """rho computed in scaled coordinates equals rho in physical
         coordinates for the same physical step (reference :1750-1762:
@@ -720,6 +722,7 @@ class TestEqualityConstraintsAndScaling:
 # UpdateNominalTrajectory behavior through the pyidto-analog API
 # ---------------------------------------------------------------------------
 class TestUpdateNominalTrajectory:
+    @pytest.mark.slow  # two full solves through the pyidto-analog API
     def test_pendulum_retarget(self):
         """Mirrors trajectory_optimizer_test.cc:1754-1827: solve the
         pendulum swing-up to q_nom = pi, then UpdateNominalTrajectory to
