@@ -18,17 +18,25 @@ Algorithm (identical math to ops/cyclic_reduction.py):
   * solve the final 1-row system, then back-substitute level by level.
 
 Constraints: f32 (TPU), and the whole working set must fit VMEM.
-Measured on TPU v5e at cheetah block size k=19 (BENCH_LINSOLVE.json,
-genuine-sync timing): batched solves run 3-4x faster than the scan-Thomas
-sweep at T = 20-40 (e.g. 10.2 ms vs 41.9 ms at T=40, batch 64) -- every
-reference horizon config.  The kernel body is fully unrolled at trace
-time (log2 levels x K-step Gauss-Jordan), so Mosaic compile time blows up
-past ~64 packed super-rows (T ~ 126): the solver's auto policy
-(optimizer/solver.py:_use_pallas) falls back to ops/cyclic_reduction.py
-there, which itself beats Thomas ~1.8x at T=160 batch 64.  At batch 1 the
-sequential scan-Thomas wins; the auto policy is only engaged for the
-CYCLIC_REDUCTION solver choice.  On non-TPU backends the kernel runs in
-interpreter mode (used by the CPU test suite).
+Measured on TPU v5e at cheetah block size k=19 (BENCH_LINSOLVE.json
+round-5 sweep, genuine-sync timing): batched solves run 20.8x the
+scan-Thomas sweep and 10.8x the XLA-op CR at T=40 batch 64 (1.93 ms vs
+40.1 / 20.9 ms) -- and every reference horizon config packs to
+mpow <= 64.  Past that (T >= 160) the fully-unrolled kernel fails the
+Mosaic compile (captured in the artifact's cr_pallas_error columns), and
+the XLA+fused-tail hybrid -- 7.5x Thomas at T=640 batch 1 -- OOMs VMEM
+under vmap because the Pallas batching rule keeps whole-batch operands
+VMEM-resident (cr_hybrid_error columns).  The auto policy
+(optimizer/solver.py:_use_pallas/_hybrid_tail_rows) therefore runs the
+full fused kernel for mpow <= 64, pure-XLA CR for vmapped longer
+horizons, and `cr_use_pallas=True` force-enables the tail for unvmapped
+long-horizon solves.  On non-TPU backends the kernel runs in interpreter
+mode (used by the CPU test suite).
+
+Accuracy: f32 CR (any variant) is residual-accurate on well-conditioned
+systems but degrades orders of magnitude past scan-Thomas on the
+contact-stiff floating-base Hessians (BENCH_F32_ACCEPT.json) -- see
+optimizer/batched.py:_rescue_degraded_solves for the containment story.
 """
 from __future__ import annotations
 

@@ -206,12 +206,23 @@ def _hybrid_tail_rows(params: SolverParameters, dtype) -> int:
     the reduction are tiny and launch-latency-bound; fusing everything at
     or below 64 super-rows into one Pallas launch removes ~log2(64) = 6
     levels of HBM round-trips while the wide levels stay in XLA where
-    bandwidth dominates anyway.  1 disables the tail (pure-XLA CR)."""
+    bandwidth dominates anyway.  1 disables the tail (pure-XLA CR).
+
+    Round-5 measurement (BENCH_LINSOLVE.json): the fused tail is 7.5x
+    scan-Thomas at T=640 batch 1 (2.29 vs 17.3 ms) -- but this solver
+    path runs VMAPPED over scenarios, and under vmap the Pallas batching
+    rule keeps the whole-batch operands VMEM-resident: at 64 super-rows x
+    batch 64 that is 3 x 23.6 MB of bands against a 16 MB VMEM, a
+    measured compile-time OOM ("Ran out of memory in memory space vmem",
+    T=160/640 batch-64 rows).  The full fused kernel (mpow <= 64, every
+    reference horizon) is proven to batch 4096; past it the auto policy
+    stays pure-XLA CR, and `cr_use_pallas=True` force-enables the tail
+    for unvmapped long-horizon solves."""
     if params.cr_use_pallas is False:
         return 1
-    if jax.default_backend() == "tpu" and dtype == jnp.float32:
+    if params.cr_use_pallas is True:
         return 64
-    return 1
+    return 1  # mpow <= 64 systems take the full fused kernel upstream
 
 
 def _sparse_factorize(params, Hs):

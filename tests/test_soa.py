@@ -191,7 +191,15 @@ class TestSoaContact:
         )
 
 
-ROLLOUT_MODELS = ["pendulum", "spinner", "mini_cheetah"]
+# mini_cheetah's AoS-side vmapped partials is the largest graph this
+# module compiles (minutes on a cold 2-core host); its rollout/partials
+# pins run slow-tier, with pendulum + spinner keeping the fast-tier pin
+# and the cheaper per-component cheetah pins above staying fast.
+ROLLOUT_MODELS = [
+    "pendulum",
+    "spinner",
+    pytest.param("mini_cheetah", marks=pytest.mark.slow),
+]
 
 
 @pytest.mark.parametrize("name", ROLLOUT_MODELS)
